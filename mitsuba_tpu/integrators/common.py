@@ -1,0 +1,119 @@
+"""Render orchestration: sample generation, spp-chunking, film accumulation.
+
+TPU-native analog of RenderJob/BlockedRenderProcess/renderBlock
+(src/librender/renderjob.cpp:87, renderproc.cpp:26-115,
+integrator.cpp:99-196): instead of a scheduler farming 32x32 pixel blocks to
+worker threads in Hilbert order, the film is rendered as giant ray batches
+(all pixels x spp_chunk samples) inside one jitted scan — XLA pipelines the
+chunks; block/spiral ordering is meaningless at batch level. Sharding over
+devices is layered on top in parallel/render_sharded.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import SampleStream, hash_u32, u32_to_uniform
+from ..film import film as filmlib
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (the analog of the integrator Properties +
+    film config in scene XML)."""
+
+    spp: int = 16
+    max_depth: int = 8          # path edges, Mitsuba convention (maxDepth)
+    rr_depth: int = 5           # start Russian roulette after this depth
+    seed: int = 0
+    filter: int = filmlib.FILTER_BOX
+    spp_chunk: int = 0          # 0 = auto
+    strict_normals: bool = False
+    # integrator-specific knobs
+    ao_length: float = -1.0     # <0 = unbounded occlusion rays
+    hide_emitters: bool = False
+
+    def resolve_chunk(self, width: int, height: int) -> int:
+        if self.spp_chunk > 0:
+            return min(self.spp_chunk, self.spp)
+        target_rays = 1 << 19   # ~512k rays per wavefront batch
+        c = max(1, target_rays // max(width * height, 1))
+        while self.spp % c:
+            c -= 1
+        return min(c, self.spp)
+
+
+# An integrator Li is: (scene, cam, o, d, stream, cfg) -> (N,3) radiance.
+LiFn = Callable
+
+
+def render(scene, cam, li_fn: LiFn, cfg: RenderConfig) -> jax.Array:
+    """Full-frame render -> (H, W, 3) float32. Jit-compatible; differentiable
+    w.r.t. scene leaves."""
+    w, h = cam.width, cam.height
+    chunk = cfg.resolve_chunk(w, h)
+    nchunks = cfg.spp // chunk
+    n = w * h * chunk
+
+    pixel_ids = jnp.arange(w * h, dtype=jnp.uint32)
+    pixel_ids = jnp.repeat(pixel_ids, chunk)                       # pixel-major
+    sample_slot = jnp.tile(jnp.arange(chunk, dtype=jnp.uint32), (w * h,))
+    px_base = (pixel_ids % w).astype(jnp.float32)
+    py_base = (pixel_ids // w).astype(jnp.float32)
+
+    use_fast_film = cfg.filter == filmlib.FILTER_BOX
+
+    def render_chunk(carry, ci):
+        img, wgt = carry
+        sample_ids = sample_slot + ci.astype(jnp.uint32) * jnp.uint32(chunk)
+        stream = SampleStream(jnp.uint32(cfg.seed), pixel_ids, sample_ids, 0)
+        # pixel jitter + lens sample (sampler dims 0-3, like the reference's
+        # sampleRayDifferential consuming samplePos/apertureSample)
+        jx = stream.next_1d()
+        jy = stream.next_1d()
+        u_lens = stream.next_2d()
+        px = px_base + jx
+        py = py_base + jy
+        from ..models import sensor as sensorlib
+
+        o, d, imp = sensorlib.sample_rays(cam, px, py, u_lens)
+        radiance = li_fn(scene, cam, o, d, stream, cfg) * imp[:, None]
+        radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
+        if use_fast_film:
+            img = img + jnp.sum(radiance.reshape(h, w, chunk, 3), axis=2)
+            wgt = wgt + jnp.float32(chunk)
+        else:
+            ci_img, ci_wgt = filmlib.splat(w, h, px, py, radiance, cfg.filter)
+            img = img + ci_img
+            wgt = wgt + ci_wgt
+        return (img, wgt), None
+
+    img0 = jnp.zeros((h, w, 3), jnp.float32)
+    wgt0 = jnp.zeros((h, w) if not use_fast_film else (), jnp.float32)
+    (img, wgt), _ = jax.lax.scan(
+        render_chunk, (img0, wgt0), jnp.arange(nchunks)
+    )
+    if use_fast_film:
+        return img / jnp.maximum(wgt, 1e-8)
+    return filmlib.develop(img, wgt)
+
+
+def render_jit(scene, cam, li_fn: LiFn, cfg: RenderConfig) -> jax.Array:
+    """Convenience: jit `render` treating cfg/li statically."""
+    fn = jax.jit(partial(render, li_fn=li_fn, cfg=cfg))
+    return fn(scene, cam)
+
+
+def power_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
+    """Power heuristic (beta=2) MIS weight for strategy a
+    (reference miWeight, src/integrators/path/path.cpp:176)."""
+    a2 = pdf_a * pdf_a
+    return jnp.where(pdf_a > 0.0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30), 0.0)
+
+
+def balance_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
+    return jnp.where(pdf_a > 0.0, pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-30), 0.0)

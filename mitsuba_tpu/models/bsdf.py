@@ -1,0 +1,415 @@
+"""BSDF framework: masked SIMD dispatch over material families.
+
+TPU-native replacement for the reference's BSDF plugin hierarchy
+(include/mitsuba/render/bsdf.h:215, sample/eval/pdf at bsdf.h:369-440 and
+src/bsdfs/*): instead of virtual dispatch per intersection, every ray batch
+gathers its material record into a ShadePoint SoA and each BSDF *family
+present in the scene* is evaluated for all rays, with lane masks selecting
+the right result. The set of families is static per scene
+(`scene.bsdf_families`), so XLA compiles only the code actually needed.
+
+Conventions (match the reference so renders are comparable):
+  * Directions in the local shading frame, z = shading normal.
+  * `wi` points toward the viewer, `wo` toward the light/next vertex.
+  * eval() returns f(wi,wo) * |cos_theta_o| (bsdf.h:398 ERadiance measure).
+  * pdf() is in solid angle; delta lobes report pdf=0 / eval=0 and are only
+    reachable through sample() (bsdf.h:224-280 EDeltaReflection semantics).
+  * sample() returns (wo, weight = f*cos/pdf, pdf, is_delta).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import warp
+from ..scene import ir
+from . import microfacet as mf
+
+INV_PI = 1.0 / jnp.pi
+
+
+class ShadePoint(NamedTuple):
+    """Per-ray gathered material record (SoA)."""
+
+    type: jax.Array          # (N,) int32
+    reflectance: jax.Array   # (N,3) texture-resolved
+    specular: jax.Array      # (N,3)
+    eta: jax.Array           # (N,3)
+    k: jax.Array             # (N,3)
+    alpha: jax.Array         # (N,2)
+    extra: jax.Array         # (N,4)
+
+
+def gather_shade_point(scene, mat: jax.Array, uv: jax.Array) -> ShadePoint:
+    """Gather material rows for each ray; resolve reflectance textures."""
+    from . import texture as tex
+
+    mats = scene.materials
+    refl = mats.reflectance[mat]
+    refl = tex.resolve(scene, mats.tex_reflectance[mat], uv, refl)
+    return ShadePoint(
+        type=mats.type[mat],
+        reflectance=refl,
+        specular=mats.specular[mat],
+        eta=mats.eta[mat],
+        k=mats.k[mat],
+        alpha=mats.alpha[mat],
+        extra=mats.extra[mat],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Family implementations. Each returns (f_cos (N,3), pdf (N,)) for eval and
+# (wo, weight, pdf, is_delta) for sample. Invalid configurations yield zeros.
+# ---------------------------------------------------------------------------
+
+def _both_sides_pos(wi, wo):
+    return (m.cos_theta(wi) > 0.0) & (m.cos_theta(wo) > 0.0)
+
+
+def _diffuse_eval(sp, wi, wo):
+    """src/bsdfs/diffuse.cpp (smooth diffuse)."""
+    ok = _both_sides_pos(wi, wo)
+    f = sp.reflectance * (INV_PI * jnp.maximum(m.cos_theta(wo), 0.0))[..., None]
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _diffuse_sample(sp, wi, u_lobe, u2):
+    wo = warp.square_to_cosine_hemisphere(u2)
+    ok = m.cos_theta(wi) > 0.0
+    weight = jnp.where(ok[..., None], sp.reflectance, 0.0)
+    pdf = jnp.where(ok, warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
+    return wo, weight, pdf, jnp.zeros_like(ok)
+
+
+def _diffuse_transmitter_eval(sp, wi, wo):
+    """src/bsdfs/difftrans.cpp — diffuse transmission to the other side."""
+    ok = (m.cos_theta(wi) * m.cos_theta(wo)) < 0.0
+    f = sp.reflectance * (INV_PI * m.abs_cos_theta(wo))[..., None]
+    pdf = INV_PI * m.abs_cos_theta(wo)
+    return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _diffuse_transmitter_sample(sp, wi, u_lobe, u2):
+    wo = warp.square_to_cosine_hemisphere(u2)
+    sign = jnp.where(m.cos_theta(wi) > 0.0, -1.0, 1.0)
+    wo = wo * jnp.stack([jnp.ones_like(sign), jnp.ones_like(sign), sign], -1)
+    pdf = INV_PI * m.abs_cos_theta(wo)
+    return wo, sp.reflectance, pdf, jnp.zeros(wi.shape[:-1], bool)
+
+
+def _conductor_sample(sp, wi, u_lobe, u2):
+    """src/bsdfs/conductor.cpp — smooth mirror with conductor Fresnel."""
+    wo = m.reflect_local(wi)
+    ci = m.cos_theta(wi)
+    f = m.fresnel_conductor(ci, sp.eta, sp.k) * sp.specular
+    ok = ci > 0.0
+    weight = jnp.where(ok[..., None], f, 0.0)
+    return wo, weight, jnp.where(ok, 1.0, 0.0), jnp.ones_like(ok)
+
+
+def _rough_conductor_eval(sp, wi, wo):
+    """src/bsdfs/roughconductor.cpp eval/pdf (isotropic)."""
+    ok = _both_sides_pos(wi, wo)
+    h = m.normalize(wi + wo)
+    dist = sp.extra[..., 3].astype(jnp.int32)
+    alpha = sp.alpha[..., 0]
+    d = mf.d_eval(dist, alpha, h)
+    g = mf.g_eval(dist, alpha, wi, wo, h)
+    fr = m.fresnel_conductor(m.dot(wi, h), sp.eta, sp.k) * sp.specular
+    ci = jnp.maximum(m.cos_theta(wi), 1e-8)
+    f_cos = fr * (d * g / (4.0 * ci))[..., None]
+    pdf = m.safe_div(mf.pdf(dist, alpha, h), 4.0 * jnp.abs(m.dot(wo, h)))
+    return (
+        jnp.where(ok[..., None], f_cos, 0.0),
+        jnp.where(ok, pdf, 0.0),
+    )
+
+
+def _rough_conductor_sample(sp, wi, u_lobe, u2):
+    dist = sp.extra[..., 3].astype(jnp.int32)
+    alpha = sp.alpha[..., 0]
+    h, _ = mf.sample(dist, alpha, u2)
+    wo = 2.0 * m.dot(wi, h, keepdims=True) * h - wi
+    f_cos, pdf = _rough_conductor_eval(sp, wi, wo)
+    weight = m.safe_div(f_cos, pdf[..., None])
+    ok = (pdf > 1e-12) & (m.cos_theta(wi) > 0.0)
+    return (
+        wo,
+        jnp.where(ok[..., None], weight, 0.0),
+        jnp.where(ok, pdf, 0.0),
+        jnp.zeros_like(ok),
+    )
+
+
+def _dielectric_sample(sp, wi, u_lobe, u2):
+    """src/bsdfs/dielectric.cpp — smooth dielectric, two delta lobes.
+
+    Radiance transport: transmission carries the 1/eta^2 scaling
+    (dielectric.cpp:241, 'radiance compression').
+    """
+    eta = sp.eta[..., 0]
+    ci = m.cos_theta(wi)
+    fr, cos_t, eta_it, eta_ti = m.fresnel_dielectric(ci, eta)
+    pick_reflect = u_lobe <= fr
+    wo_r = m.reflect_local(wi)
+    wo_t = m.refract_local(wi, eta, cos_t)
+    wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+    w_r = sp.specular            # specular reflectance tint
+    w_t = sp.reflectance * (eta_ti * eta_ti)[..., None]  # transmittance tint
+    weight = jnp.where(pick_reflect[..., None], w_r, w_t)
+    pdf = jnp.where(pick_reflect, fr, 1.0 - fr)
+    return wo, weight, pdf, jnp.ones_like(pick_reflect)
+
+
+def _thin_dielectric_sample(sp, wi, u_lobe, u2):
+    """src/bsdfs/thindielectric.cpp — thin slab: R' = 2R/(1+R), pass-through."""
+    eta = sp.eta[..., 0]
+    ci = m.cos_theta(wi)
+    fr, _, _, _ = m.fresnel_dielectric(jnp.abs(ci), eta)
+    fr = m.safe_div(2.0 * fr, 1.0 + fr)
+    pick_reflect = u_lobe <= fr
+    wo = jnp.where(pick_reflect[..., None], m.reflect_local(wi), -wi)
+    weight = jnp.where(pick_reflect[..., None], sp.specular, sp.reflectance)
+    pdf = jnp.where(pick_reflect, fr, 1.0 - fr)
+    return wo, weight, pdf, jnp.ones_like(pick_reflect)
+
+
+def _plastic_fdr(sp):
+    return m.fresnel_diffuse_reflectance(1.0 / sp.eta[..., 0])
+
+
+def _plastic_spec_prob(sp, wi):
+    """Specular selection probability (plastic.cpp specularSamplingWeight)."""
+    fi, _, _, _ = m.fresnel_dielectric(m.cos_theta(wi), sp.eta[..., 0])
+    return jnp.clip(fi, 0.05, 0.95)
+
+
+def _plastic_eval(sp, wi, wo):
+    """src/bsdfs/plastic.cpp — smooth plastic: delta coat + internal diffuse.
+
+    eval covers only the diffuse component (the coat is delta);
+    nonlinear internal-scattering compensation per plastic.cpp:142-170.
+    """
+    ok = _both_sides_pos(wi, wo)
+    eta = sp.eta[..., 0]
+    fi, _, _, eta_ti_i = m.fresnel_dielectric(m.cos_theta(wi), eta)
+    fo, _, _, _ = m.fresnel_dielectric(m.cos_theta(wo), eta)
+    fdr = _plastic_fdr(sp)
+    refl = sp.reflectance
+    denom = 1.0 - refl * fdr[..., None]
+    inv_eta2 = (1.0 / eta) ** 2
+    f = (
+        refl / jnp.maximum(denom, 1e-6)
+        * ((1.0 - fi) * (1.0 - fo) * inv_eta2 * INV_PI * jnp.maximum(m.cos_theta(wo), 0.0))[..., None]
+    )
+    spec_p = _plastic_spec_prob(sp, wi)
+    pdf = (1.0 - spec_p) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _plastic_sample(sp, wi, u_lobe, u2):
+    spec_p = _plastic_spec_prob(sp, wi)
+    pick_spec = u_lobe <= spec_p
+    # specular branch
+    wo_s = m.reflect_local(wi)
+    fi, _, _, _ = m.fresnel_dielectric(m.cos_theta(wi), sp.eta[..., 0])
+    w_s = sp.specular * m.safe_div(fi, spec_p)[..., None]
+    # diffuse branch
+    wo_d = warp.square_to_cosine_hemisphere(u2)
+    f_d, pdf_d = _plastic_eval(sp, wi, wo_d)
+    w_d = m.safe_div(f_d, pdf_d[..., None])
+    wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+    weight = jnp.where(pick_spec[..., None], w_s, w_d)
+    pdf = jnp.where(pick_spec, spec_p, pdf_d)
+    ok = m.cos_theta(wi) > 0.0
+    return (
+        wo,
+        jnp.where(ok[..., None], weight, 0.0),
+        jnp.where(ok, pdf, 0.0),
+        pick_spec,
+    )
+
+
+def _phong_eval(sp, wi, wo):
+    """src/bsdfs/phong.cpp — modified Phong (diffuse + cos^n specular lobe)."""
+    ok = _both_sides_pos(wi, wo)
+    exponent = sp.extra[..., 0]
+    refl_r = m.reflect_local(wi)
+    cos_a = jnp.maximum(m.dot(refl_r, wo), 0.0)
+    spec = sp.specular * ((exponent + 2.0) * INV_PI * 0.5 * jnp.power(cos_a, exponent))[..., None]
+    diff = sp.reflectance * INV_PI
+    f_cos = (diff + spec) * jnp.maximum(m.cos_theta(wo), 0.0)[..., None]
+    # pdf mixes the two lobes by their sampling weights
+    kd = jnp.mean(sp.reflectance, -1)
+    ks = jnp.mean(sp.specular, -1)
+    w_spec = m.safe_div(ks, kd + ks)
+    pdf = (
+        w_spec * _phong_lobe_pdf(refl_r, wo, exponent)
+        + (1.0 - w_spec) * warp.square_to_cosine_hemisphere_pdf(wo)
+    )
+    return jnp.where(ok[..., None], f_cos, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _phong_lobe_pdf(axis, wo, exponent):
+    cos_a = jnp.maximum(m.dot(axis, wo), 0.0)
+    return (exponent + 1.0) * (0.5 * INV_PI) * jnp.power(cos_a, exponent)
+
+
+def _phong_sample(sp, wi, u_lobe, u2):
+    exponent = sp.extra[..., 0]
+    kd = jnp.mean(sp.reflectance, -1)
+    ks = jnp.mean(sp.specular, -1)
+    w_spec = m.safe_div(ks, kd + ks)
+    pick_spec = u_lobe <= w_spec
+    refl_r = m.reflect_local(wi)
+    # sample around reflected direction with cos^(n+1) lobe
+    local = _sample_phong_lobe(u2, exponent)
+    wo_s = m.to_world(refl_r, local)
+    wo_d = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+    f_cos, pdf = _phong_eval(sp, wi, wo)
+    weight = m.safe_div(f_cos, pdf[..., None])
+    ok = (pdf > 1e-12) & (m.cos_theta(wo) > 0.0) & (m.cos_theta(wi) > 0.0)
+    return (
+        wo,
+        jnp.where(ok[..., None], weight, 0.0),
+        jnp.where(ok, pdf, 0.0),
+        jnp.zeros_like(ok),
+    )
+
+
+def _sample_phong_lobe(u2, exponent):
+    ct = jnp.power(jnp.maximum(u2[..., 0], 1e-20), 1.0 / (exponent + 1.0))
+    st = m.safe_sqrt(1.0 - ct * ct)
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+
+
+def _rough_diffuse_eval(sp, wi, wo):
+    """src/bsdfs/roughdiffuse.cpp — Oren-Nayar (qualitative fast variant)."""
+    ok = _both_sides_pos(wi, wo)
+    sigma = sp.alpha[..., 0] * (jnp.pi / 2.0) * 0.7978845608  # conversion per roughdiffuse.cpp
+    s2 = sigma * sigma
+    a = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    b = 0.45 * s2 / (s2 + 0.09)
+    ci, co = m.cos_theta(wi), m.cos_theta(wo)
+    si, so = m.sin_theta(wi), m.sin_theta(wo)
+    cos_dphi = jnp.clip(
+        m.cos_phi(wi) * m.cos_phi(wo) + m.sin_phi(wi) * m.sin_phi(wo), -1.0, 1.0
+    )
+    sin_alpha = jnp.where(ci > co, so, si)
+    tan_beta = jnp.where(ci > co, m.safe_div(si, ci), m.safe_div(so, co))
+    f = sp.reflectance * (
+        INV_PI * jnp.maximum(co, 0.0)
+        * (a + b * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta)
+    )[..., None]
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _rough_diffuse_sample(sp, wi, u_lobe, u2):
+    wo = warp.square_to_cosine_hemisphere(u2)
+    f_cos, pdf = _rough_diffuse_eval(sp, wi, wo)
+    weight = m.safe_div(f_cos, pdf[..., None])
+    ok = pdf > 1e-12
+    return wo, jnp.where(ok[..., None], weight, 0.0), pdf, jnp.zeros_like(ok)
+
+
+def _null_sample(sp, wi, u_lobe, u2):
+    """src/bsdfs/null.cpp — pass-through (for mask/medium boundaries)."""
+    wo = -wi
+    ones = jnp.ones(wi.shape[:-1] + (3,), wi.dtype)
+    return wo, ones, jnp.ones(wi.shape[:-1], wi.dtype), jnp.ones(wi.shape[:-1], bool)
+
+
+def _zero_eval(sp, wi, wo):
+    z = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
+    return z, jnp.zeros(wi.shape[:-1], wi.dtype)
+
+
+_EVAL = {
+    ir.BSDF_DIFFUSE: _diffuse_eval,
+    ir.BSDF_ROUGH_CONDUCTOR: _rough_conductor_eval,
+    ir.BSDF_PLASTIC: _plastic_eval,
+    ir.BSDF_PHONG: _phong_eval,
+    ir.BSDF_ROUGH_DIFFUSE: _rough_diffuse_eval,
+    ir.BSDF_DIFFUSE_TRANSMITTER: _diffuse_transmitter_eval,
+    ir.BSDF_CONDUCTOR: _zero_eval,
+    ir.BSDF_DIELECTRIC: _zero_eval,
+    ir.BSDF_THIN_DIELECTRIC: _zero_eval,
+    ir.BSDF_NULL: _zero_eval,
+}
+
+_SAMPLE = {
+    ir.BSDF_DIFFUSE: _diffuse_sample,
+    ir.BSDF_ROUGH_CONDUCTOR: _rough_conductor_sample,
+    ir.BSDF_PLASTIC: _plastic_sample,
+    ir.BSDF_PHONG: _phong_sample,
+    ir.BSDF_ROUGH_DIFFUSE: _rough_diffuse_sample,
+    ir.BSDF_DIFFUSE_TRANSMITTER: _diffuse_transmitter_sample,
+    ir.BSDF_CONDUCTOR: _conductor_sample,
+    ir.BSDF_DIELECTRIC: _dielectric_sample,
+    ir.BSDF_THIN_DIELECTRIC: _thin_dielectric_sample,
+    ir.BSDF_NULL: _null_sample,
+}
+
+# Families whose sample() is (partly) a delta lobe.
+DELTA_FAMILIES = frozenset(
+    [ir.BSDF_CONDUCTOR, ir.BSDF_DIELECTRIC, ir.BSDF_THIN_DIELECTRIC, ir.BSDF_NULL,
+     ir.BSDF_PLASTIC]
+)
+
+# Families that can transmit (frame flipping must keep both sides).
+TRANSMISSIVE = frozenset(
+    [ir.BSDF_DIELECTRIC, ir.BSDF_THIN_DIELECTRIC, ir.BSDF_NULL,
+     ir.BSDF_DIFFUSE_TRANSMITTER]
+)
+
+
+def _apply_twosided(sp: ShadePoint, wi):
+    """extra[:,2] > 0.5 marks a twosided adapter (src/bsdfs/twosided.cpp):
+    flip the frame when hit from behind."""
+    flip = (sp.extra[..., 2] > 0.5) & (m.cos_theta(wi) < 0.0)
+    s = jnp.where(flip, -1.0, 1.0)
+    flip_vec = jnp.stack([jnp.ones_like(s), jnp.ones_like(s), s], axis=-1)
+    return flip_vec
+
+
+def eval_pdf(sp: ShadePoint, wi: jax.Array, wo: jax.Array, families: tuple):
+    """Masked dispatch of eval+pdf over the scene's static family set."""
+    flip = _apply_twosided(sp, wi)
+    wi = wi * flip
+    wo = wo * flip
+    f = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
+    pdf = jnp.zeros(wi.shape[:-1], wi.dtype)
+    for fam in families:
+        fe, fp = _EVAL[fam](sp, wi, wo)
+        mask = sp.type == fam
+        f = jnp.where(mask[..., None], fe, f)
+        pdf = jnp.where(mask, fp, pdf)
+    return f, pdf
+
+
+def sample(sp: ShadePoint, wi: jax.Array, u_lobe: jax.Array, u2: jax.Array,
+           families: tuple):
+    """Masked dispatch of sample(). Returns (wo, weight, pdf, is_delta)."""
+    flip = _apply_twosided(sp, wi)
+    wi_f = wi * flip
+    wo = jnp.zeros_like(wi)
+    weight = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
+    pdf = jnp.zeros(wi.shape[:-1], wi.dtype)
+    is_delta = jnp.zeros(wi.shape[:-1], bool)
+    for fam in families:
+        fwo, fw, fp, fd = _SAMPLE[fam](sp, wi_f, u_lobe, u2)
+        mask = sp.type == fam
+        wo = jnp.where(mask[..., None], fwo, wo)
+        weight = jnp.where(mask[..., None], fw, weight)
+        pdf = jnp.where(mask, fp, pdf)
+        is_delta = jnp.where(mask, fd, is_delta)
+    wo = wo * flip
+    return wo, weight, pdf, is_delta

@@ -1,0 +1,145 @@
+"""Sensors: batched primary-ray generation.
+
+TPU-native analog of Sensor::sampleRay / PerspectiveCamera
+(include/mitsuba/render/sensor.h:66,393,492, src/sensors/perspective.cpp):
+a sensor is a pure function (pixel coords + aperture sample) -> rays.
+Implemented: perspective, thinlens (depth of field), orthographic,
+spherical (lat-long panorama). All take film-plane positions in pixels.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import math as m
+from ..core import warp
+
+SENSOR_PERSPECTIVE = 0
+SENSOR_THINLENS = 1
+SENSOR_ORTHOGRAPHIC = 2
+SENSOR_SPHERICAL = 3
+
+
+@struct.dataclass
+class Camera:
+    """Pinhole/thin-lens camera. `to_world` maps camera space (right-handed,
+    camera looks down +z like the reference, perspective.cpp:98) to world."""
+
+    to_world: jax.Array     # (4,4)
+    fov_x: jax.Array        # scalar, degrees
+    aperture: jax.Array     # scalar lens radius (thinlens.cpp)
+    focus_dist: jax.Array   # scalar
+    width: int = struct.field(pytree_node=False, default=256)
+    height: int = struct.field(pytree_node=False, default=256)
+    kind: int = struct.field(pytree_node=False, default=SENSOR_PERSPECTIVE)
+    near: float = struct.field(pytree_node=False, default=1e-2)
+
+
+def look_at(origin, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Camera-to-world matrix (Transform::lookAt, libcore/transform.cpp:311)."""
+    origin = np.asarray(origin, np.float32)
+    target = np.asarray(target, np.float32)
+    up = np.asarray(up, np.float32)
+    fwd = target - origin
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(up / np.linalg.norm(up), fwd)
+    right = right / np.linalg.norm(right)
+    new_up = np.cross(fwd, right)
+    mat = np.eye(4, dtype=np.float32)
+    mat[:3, 0] = right
+    mat[:3, 1] = new_up
+    mat[:3, 2] = fwd
+    mat[:3, 3] = origin
+    return mat
+
+
+def make_camera(origin, target, up=(0, 1, 0), fov_x=39.0, width=256, height=256,
+                kind=SENSOR_PERSPECTIVE, aperture=0.0, focus_dist=1.0) -> Camera:
+    return Camera(
+        to_world=jnp.asarray(look_at(origin, target, up)),
+        fov_x=jnp.float32(fov_x),
+        aperture=jnp.float32(aperture),
+        focus_dist=jnp.float32(focus_dist),
+        width=int(width),
+        height=int(height),
+        kind=int(kind),
+    )
+
+
+def sample_rays(cam: Camera, px: jax.Array, py: jax.Array, u_lens: jax.Array):
+    """Generate world-space rays through continuous pixel positions.
+
+    px, py: (N,) continuous pixel coords in [0, W) x [0, H).
+    u_lens: (N,2) aperture samples (ignored by pinhole).
+    Returns (o, d): (N,3) each, plus importance weight (N,) (=1 for these
+    sensor models, matching perspective.cpp:261 Spectrum(1.0f)).
+    """
+    n = px.shape[0]
+    w = jnp.float32(cam.width)
+    h = jnp.float32(cam.height)
+    # NDC in [-1, 1], y flipped so pixel (0,0) is top-left like the film.
+    sx = 2.0 * px / w - 1.0
+    sy = 1.0 - 2.0 * py / h
+    tan_half = jnp.tan(0.5 * jnp.deg2rad(cam.fov_x))
+    aspect = h / w
+
+    if cam.kind in (SENSOR_PERSPECTIVE, SENSOR_THINLENS):
+        d_cam = jnp.stack(
+            [sx * tan_half, sy * tan_half * aspect, jnp.ones_like(sx)], axis=-1
+        )
+        o_cam = jnp.zeros((n, 3))
+        if cam.kind == SENSOR_THINLENS:
+            # thinlens.cpp:226: sample lens disk, refocus at focus plane
+            lens = warp.square_to_uniform_disk_concentric(u_lens) * cam.aperture
+            focus_p = d_cam * (cam.focus_dist / d_cam[..., 2:3])
+            o_cam = jnp.concatenate([lens, jnp.zeros((n, 1))], axis=-1)
+            d_cam = focus_p - o_cam
+        d_cam = m.normalize(d_cam)
+    elif cam.kind == SENSOR_ORTHOGRAPHIC:
+        # orthographic.cpp: parallel rays along +z; fov_x reused as film extent
+        extent = cam.fov_x  # world-units half-width
+        o_cam = jnp.stack([sx * extent, sy * extent * aspect, jnp.zeros_like(sx)], -1)
+        d_cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    elif cam.kind == SENSOR_SPHERICAL:
+        # spherical.cpp: lat-long panorama
+        phi = (px / w) * 2.0 * jnp.pi - jnp.pi
+        theta = (py / h) * jnp.pi
+        st = jnp.sin(theta)
+        d_cam = jnp.stack([st * jnp.sin(phi), jnp.cos(theta), st * jnp.cos(phi)], -1)
+        o_cam = jnp.zeros((n, 3))
+    else:
+        raise ValueError(f"unknown sensor kind {cam.kind}")
+
+    rot = cam.to_world[:3, :3]
+    o = o_cam @ rot.T + cam.to_world[:3, 3]
+    d = m.normalize(d_cam @ rot.T)
+    return o, d, jnp.ones((n,), jnp.float32)
+
+
+def world_to_raster(cam: Camera, p: jax.Array):
+    """Project world points to pixel coords (for ptracer/light tracing;
+    analog of PerspectiveCamera::getSampleDirection). Returns (px, py, valid,
+    importance) — importance is the W_e factor for particle tracing."""
+    rot = cam.to_world[:3, :3]
+    trans = cam.to_world[:3, 3]
+    p_cam = (p - trans) @ rot  # rot is orthonormal: inverse = transpose
+    z = p_cam[..., 2]
+    valid = z > cam.near
+    zs = jnp.where(valid, z, 1.0)
+    tan_half = jnp.tan(0.5 * jnp.deg2rad(cam.fov_x))
+    aspect = jnp.float32(cam.height) / jnp.float32(cam.width)
+    sx = p_cam[..., 0] / (zs * tan_half)
+    sy = p_cam[..., 1] / (zs * tan_half * aspect)
+    px = (sx + 1.0) * 0.5 * cam.width
+    py = (1.0 - sy) * 0.5 * cam.height
+    valid &= (px >= 0) & (px < cam.width) & (py >= 0) & (py < cam.height)
+    # importance W_e = 1 / (A_film * cos^3 theta) in solid-angle measure
+    d = m.normalize(p_cam)
+    cos_t = d[..., 2]
+    film_area = 4.0 * tan_half * tan_half * aspect
+    imp = m.safe_div(1.0, film_area * jnp.maximum(cos_t, 1e-6) ** 4)
+    return px, py, valid, imp

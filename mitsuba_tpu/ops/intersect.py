@@ -1,0 +1,189 @@
+"""Ray-triangle intersection over ray batches.
+
+TPU-native replacement for the reference's kd-tree + Wald TriAccel hot loop
+(src/librender/skdtree.cpp:135 Havran traversal, triaccel.h:37-59, SSE
+packets skdtree.cpp:241): instead of a per-ray recursive traversal, rays are
+processed as wide batches on the VPU.
+
+Two paths:
+  * `intersect_brute` — all rays x all triangles (chunked Moller-Trumbore).
+    For small scenes (Cornell-class, <= a few thousand tris) this IS the
+    speed-of-light TPU strategy: zero divergence, perfectly vectorized,
+    no memory-bound pointer chasing. A Pallas tiled kernel of the same
+    algorithm lives in ops/pallas_intersect.py.
+  * BVH traversal for large meshes — see ops/bvh_traverse.py + scene/bvh.py.
+
+Watertightness/precision follow the reference's single-precision build
+(config-linux-gcc.py:7 -DSINGLE_PRECISION).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+
+SHADOW_EPS = 1e-3
+
+
+class Intersection(NamedTuple):
+    """Batched surface interaction record (analog of mitsuba's
+    `Intersection`, include/mitsuba/render/shape.h:58)."""
+
+    valid: jax.Array   # (N,) bool
+    t: jax.Array       # (N,)
+    prim: jax.Array    # (N,) int32 triangle id (0 if invalid)
+    b1: jax.Array      # (N,) barycentric
+    b2: jax.Array      # (N,)
+
+
+def _chunk_tris(p0, e1, e2, chunk: int):
+    """Pad triangle arrays to a multiple of `chunk` with degenerate tris."""
+    t = p0.shape[0]
+    pad = (-t) % chunk
+    if pad:
+        z = jnp.zeros((pad, 3), p0.dtype)
+        far = jnp.full((pad, 3), 3.0e37, p0.dtype)
+        p0 = jnp.concatenate([p0, far], 0)
+        e1 = jnp.concatenate([e1, z], 0)
+        e2 = jnp.concatenate([e2, z], 0)
+    return p0, e1, e2, t + pad
+
+
+def intersect_brute(
+    scene,
+    o: jax.Array,
+    d: jax.Array,
+    tmax=None,
+    chunk: int = 64,
+) -> Intersection:
+    """Closest-hit Moller-Trumbore over every triangle, scanning triangle
+    chunks to bound the (rays x chunk) working set in HBM.
+
+    o, d: (N,3). Returns Intersection with t=INF where no hit.
+    """
+    p0, e1, e2 = scene.tri_vertices()
+    p0, e1, e2, t_padded = _chunk_tris(p0, e1, e2, chunk)
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), m.INF)
+
+    nchunks = t_padded // chunk
+    p0c = p0.reshape(nchunks, chunk, 3)
+    e1c = e1.reshape(nchunks, chunk, 3)
+    e2c = e2.reshape(nchunks, chunk, 3)
+
+    def body(carry, tri_chunk):
+        best_t, best_prim, best_b1, best_b2 = carry
+        cp0, ce1, ce2, base = tri_chunk
+        # (N, C, 3) broadcasts; XLA fuses the elementwise chain + min-reduce.
+        pvec = jnp.cross(d[:, None, :], ce2[None, :, :])
+        det = jnp.sum(ce1[None, :, :] * pvec, axis=-1)          # (N, C)
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det))
+        tvec = o[:, None, :] - cp0[None, :, :]
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, ce1[None, :, :])
+        v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+        t = jnp.sum(ce2[None, :, :] * qvec, axis=-1) * inv_det
+        hit = (
+            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > SHADOW_EPS) & (t < best_t[:, None]) & (t < tmax[:, None])
+            & (inv_det != 0.0)
+        )
+        t = jnp.where(hit, t, m.INF)
+        j = jnp.argmin(t, axis=1)                                # (N,)
+        rows = jnp.arange(n)
+        cand_t = t[rows, j]
+        better = cand_t < best_t
+        best_t = jnp.where(better, cand_t, best_t)
+        best_prim = jnp.where(better, base + j.astype(jnp.int32), best_prim)
+        best_b1 = jnp.where(better, u[rows, j], best_b1)
+        best_b2 = jnp.where(better, v[rows, j], best_b2)
+        return (best_t, best_prim, best_b1, best_b2), None
+
+    init = (
+        jnp.full((n,), m.INF),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+    )
+    bases = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
+    (best_t, best_prim, best_b1, best_b2), _ = jax.lax.scan(
+        body, init, (p0c, e1c, e2c, bases)
+    )
+    valid = best_t < m.INF
+    return Intersection(
+        valid=valid,
+        t=jnp.where(valid, best_t, m.INF),
+        prim=jnp.where(valid, best_prim, 0),
+        b1=best_b1,
+        b2=best_b2,
+    )
+
+
+def occluded_brute(
+    scene,
+    o: jax.Array,
+    d: jax.Array,
+    tmax: jax.Array,
+    chunk: int = 64,
+) -> jax.Array:
+    """Any-hit shadow query (Scene::rayIntersect shadow variant,
+    scene.h:219-242). Returns (N,) bool: True if something blocks [eps, tmax]."""
+    p0, e1, e2 = scene.tri_vertices()
+    p0, e1, e2, t_padded = _chunk_tris(p0, e1, e2, chunk)
+    nchunks = t_padded // chunk
+    p0c = p0.reshape(nchunks, chunk, 3)
+    e1c = e1.reshape(nchunks, chunk, 3)
+    e2c = e2.reshape(nchunks, chunk, 3)
+
+    def body(blocked, tri_chunk):
+        cp0, ce1, ce2 = tri_chunk
+        pvec = jnp.cross(d[:, None, :], ce2[None, :, :])
+        det = jnp.sum(ce1[None, :, :] * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det))
+        tvec = o[:, None, :] - cp0[None, :, :]
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, ce1[None, :, :])
+        v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+        t = jnp.sum(ce2[None, :, :] * qvec, axis=-1) * inv_det
+        hit = (
+            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > SHADOW_EPS) & (t < tmax[:, None] * (1.0 - SHADOW_EPS))
+            & (inv_det != 0.0)
+        )
+        return blocked | jnp.any(hit, axis=1), None
+
+    blocked, _ = jax.lax.scan(
+        body, jnp.zeros((o.shape[0],), bool), (p0c, e1c, e2c)
+    )
+    return blocked
+
+
+def surface_interaction(scene, o, d, its: Intersection):
+    """Expand a hit record into shading data (position, frames, uv, material).
+
+    Analog of Intersection::computePartials + Shape::fillIntersectionRecord.
+    Returns dict of batched fields; invalid lanes contain harmless defaults.
+    """
+    p = o + its.t[:, None] * d
+    ng_all, _ = scene.tri_normal_area()
+    ng = ng_all[its.prim]
+    ns = scene.shading_normal(its.prim, its.b1, its.b2)
+    # Flip shading normal to the geometric side agreement (strict normals
+    # handling, reference integrator.h:444 strictNormals is optional).
+    ns = jnp.where(m.dot(ns, ng, keepdims=True) < 0.0, -ns, ns)
+    uv = scene.uv_at(its.prim, its.b1, its.b2)
+    mat = scene.tri_material[its.prim]
+    emitter = scene.tri_emitter[its.prim]
+    return {
+        "p": p,
+        "ng": ng,
+        "ns": ns,
+        "uv": uv,
+        "mat": mat,
+        "emitter": emitter,
+        "wi_world": -d,
+    }

@@ -1,0 +1,32 @@
+"""Trace dispatch: pick the right intersection backend for a scene.
+
+Small scenes (Cornell-class) brute-force on the VPU; scenes with a built
+BVH (scene.aux["bvh"] is set by scene.bvh.build_bvh) use batched stackless
+traversal. The analog of Scene::rayIntersect (scene.h:187) as a single
+entry point.
+"""
+from __future__ import annotations
+
+import jax
+
+from . import intersect as _isect
+
+
+def closest_hit(scene, o: jax.Array, d: jax.Array, tmax=None) -> _isect.Intersection:
+    bvh = scene.aux.get("bvh") if isinstance(scene.aux, dict) else None
+    if bvh is not None:
+        from . import bvh_traverse
+        return bvh_traverse.closest_hit(scene, bvh, o, d, tmax)
+    return _isect.intersect_brute(scene, o, d, tmax)
+
+
+def any_hit(scene, o: jax.Array, d: jax.Array, tmax) -> jax.Array:
+    bvh = scene.aux.get("bvh") if isinstance(scene.aux, dict) else None
+    if bvh is not None:
+        from . import bvh_traverse
+        return bvh_traverse.any_hit(scene, bvh, o, d, tmax)
+    return _isect.occluded_brute(scene, o, d, tmax)
+
+
+surface_interaction = _isect.surface_interaction
+Intersection = _isect.Intersection

@@ -1,0 +1,84 @@
+"""Headline benchmark: rays/second, Cornell-box path tracing.
+
+The TPU-native analog of the reference's `mtsutil kdbench` rays/s utility
+(src/utils/kdbench.cpp:35-66) applied to the BASELINE config: Cornell box,
+`path` integrator, maxDepth 8, 256 spp at 256x256. Rays counted are
+*useful* rays only — active closest-hit wavefront lanes plus NEE shadow
+rays (counted exactly with an instrumented pass) — not padded lanes.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 100e6 (the BASELINE.json >=100M rays/s/chip target).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from mitsuba_tpu.core.rng import SampleStream
+    from mitsuba_tpu.integrators import common, path
+    from mitsuba_tpu.models import sensor as sensorlib
+    from mitsuba_tpu.scene import builtin
+
+    # Warm the device<->host transfer path: in the tunneled-TPU setup the
+    # first d2h fetch pays a one-time multi-second channel setup that must
+    # not land inside the timed region.
+    float(jnp.zeros(()).sum())
+
+    width = height = 256
+    spp = 256
+    cfg = common.RenderConfig(spp=spp, max_depth=8, rr_depth=5, seed=0)
+    scene, cam = builtin.cornell_box(width=width, height=height)
+
+    # --- exact useful-ray count on a sample subset ----------------------
+    count_spp = 8
+    npix = width * height
+    pids = jnp.repeat(jnp.arange(npix, dtype=jnp.uint32), count_spp)
+    slot = jnp.tile(jnp.arange(count_spp, dtype=jnp.uint32), (npix,))
+
+    @jax.jit
+    def count_rays(scene, cam):
+        stream = SampleStream(jnp.uint32(cfg.seed), pids, slot, 0)
+        jx, jy = stream.next_1d(), stream.next_1d()
+        u_lens = stream.next_2d()
+        px = (pids % width).astype(jnp.float32) + jx
+        py = (pids // width).astype(jnp.float32) + jy
+        o, d, _ = sensorlib.sample_rays(cam, px, py, u_lens)
+        _, rays = path.li_with_stats(scene, cam, o, d, stream, cfg)
+        return rays
+
+    rays_per_sample = float(count_rays(scene, cam)) / (npix * count_spp)
+
+    # --- timed full render ---------------------------------------------
+    # warmup/compile
+    img = common.render_jit(scene, cam, path.li, cfg)
+    img.block_until_ready()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        img = common.render_jit(scene, cam, path.li, cfg)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    total_rays = rays_per_sample * npix * spp
+    rays_per_sec = total_rays / dt
+    print(json.dumps({
+        "metric": "cornell_path_rays_per_sec",
+        "value": rays_per_sec,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_sec / 100e6,
+        "detail": {
+            "resolution": [width, height], "spp": spp, "max_depth": cfg.max_depth,
+            "rays_per_sample": rays_per_sample, "render_s": dt,
+            "device": str(jax.devices()[0]),
+            "mean_radiance": float(img.mean()),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

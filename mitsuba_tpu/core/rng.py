@@ -53,20 +53,36 @@ class SampleStream:
     Mirrors Sampler::next1D/next2D (render/sampler.h:105-121) but with a
     dimension counter advanced *statically at trace time* — each call burns
     fixed dims, so the whole render compiles to pure hashing with no state.
+
+    `kind` selects the sampler family (samplers/qmc.py:
+    independent/stratified/halton/(0,2)-LD — the plugin set of
+    src/samplers/); `spp` is needed by stratified.
     """
 
-    __slots__ = ("seed", "pixel", "sample", "dim")
+    __slots__ = ("seed", "pixel", "sample", "dim", "kind", "spp")
 
-    def __init__(self, seed, pixel, sample, dim: int = 0):
+    def __init__(self, seed, pixel, sample, dim: int = 0, kind: int = 0,
+                 spp: int = 0):
         self.seed = seed
         self.pixel = pixel
         self.sample = sample
         self.dim = dim
+        self.kind = kind
+        self.spp = spp
+
+    def at_dim(self, dim):
+        """Sample a specific dimension (dim may be traced, e.g. a bounce
+        counter; QMC kinds require static dims and fall back to hashing
+        for traced ones)."""
+        if self.kind == 0 or not isinstance(dim, int):
+            return uniform(self.seed, self.pixel, self.sample, dim)
+        from ..samplers import qmc
+
+        return qmc.sample_dim(self.kind, self.seed, self.pixel, self.sample,
+                              dim, self.spp)
 
     def next_1d(self):
-        # self.dim may be a Python int (static) or a traced value (e.g.
-        # bounce * DIMS_PER_BOUNCE inside lax.fori_loop) — both hash fine.
-        u = uniform(self.seed, self.pixel, self.sample, self.dim)
+        u = self.at_dim(self.dim)
         self.dim = self.dim + 1
         return u
 
@@ -80,4 +96,6 @@ class SampleStream:
             self.pixel,
             self.sample,
             0,
+            kind=self.kind,
+            spp=self.spp,
         )

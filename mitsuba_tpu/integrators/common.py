@@ -33,6 +33,8 @@ class RenderConfig:
     filter: int = filmlib.FILTER_BOX
     spp_chunk: int = 0          # 0 = auto
     strict_normals: bool = False
+    sampler: int = 0            # samplers/qmc.py SAMPLER_* family
+    unroll: bool = True         # unroll the bounce loop (static QMC dims)
     # integrator-specific knobs
     ao_length: float = -1.0     # <0 = unbounded occlusion rays
     hide_emitters: bool = False
@@ -51,9 +53,13 @@ class RenderConfig:
 LiFn = Callable
 
 
-def render(scene, cam, li_fn: LiFn, cfg: RenderConfig) -> jax.Array:
+def render(scene, cam, li_fn: LiFn, cfg: RenderConfig, sample_offset=0) -> jax.Array:
     """Full-frame render -> (H, W, 3) float32. Jit-compatible; differentiable
-    w.r.t. scene leaves."""
+    w.r.t. scene leaves.
+
+    sample_offset shifts the per-pixel sample indices (traced, no recompile):
+    the progressive/checkpoint driver renders samples [offset, offset+spp)
+    of the same global sample set (utils/checkpoint.py)."""
     w, h = cam.width, cam.height
     chunk = cfg.resolve_chunk(w, h)
     nchunks = cfg.spp // chunk
@@ -69,8 +75,10 @@ def render(scene, cam, li_fn: LiFn, cfg: RenderConfig) -> jax.Array:
 
     def render_chunk(carry, ci):
         img, wgt = carry
-        sample_ids = sample_slot + ci.astype(jnp.uint32) * jnp.uint32(chunk)
-        stream = SampleStream(jnp.uint32(cfg.seed), pixel_ids, sample_ids, 0)
+        sample_ids = (sample_slot + ci.astype(jnp.uint32) * jnp.uint32(chunk)
+                      + jnp.uint32(sample_offset))
+        stream = SampleStream(jnp.uint32(cfg.seed), pixel_ids, sample_ids, 0,
+                              kind=cfg.sampler, spp=cfg.spp)
         # pixel jitter + lens sample (sampler dims 0-3, like the reference's
         # sampleRayDifferential consuming samplePos/apertureSample)
         jx = stream.next_1d()
@@ -102,10 +110,23 @@ def render(scene, cam, li_fn: LiFn, cfg: RenderConfig) -> jax.Array:
     return filmlib.develop(img, wgt)
 
 
-def render_jit(scene, cam, li_fn: LiFn, cfg: RenderConfig) -> jax.Array:
-    """Convenience: jit `render` treating cfg/li statically."""
-    fn = jax.jit(partial(render, li_fn=li_fn, cfg=cfg))
-    return fn(scene, cam)
+from functools import lru_cache
+
+
+@lru_cache(maxsize=128)
+def _jitted_render(li_fn, cfg: RenderConfig):
+    return jax.jit(
+        lambda scene, cam, sample_offset: render(scene, cam, li_fn, cfg,
+                                                 sample_offset)
+    )
+
+
+def render_jit(scene, cam, li_fn: LiFn, cfg: RenderConfig,
+               sample_offset: int = 0) -> jax.Array:
+    """Convenience: jit `render` treating cfg/li statically. The jitted
+    callable is cached so repeated calls with the same (li, cfg) reuse the
+    compiled executable; sample_offset is traced (no recompile per pass)."""
+    return _jitted_render(li_fn, cfg)(scene, cam, jnp.uint32(sample_offset))
 
 
 def power_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:

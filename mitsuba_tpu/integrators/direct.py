@@ -24,7 +24,7 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
     families = scene.bsdf_families
 
     def u(k):
-        return uniform(stream.seed, stream.pixel, stream.sample, SENSOR_DIMS + k)
+        return stream.at_dim(SENSOR_DIMS + k)
 
     its = trace.closest_hit(scene, o, d)
     si = trace.surface_interaction(scene, o, d, its)
@@ -50,8 +50,8 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
     ds = emitterlib.sample_direct(scene, p, jnp.stack([u(0), u(1), u(2)], -1))
     wo_local = m.to_local(ns, ds.d)
     f, pdf_b = bsdflib.eval_pdf(sp, wi_local, wo_local, families)
-    shadow_o = p + ng * jnp.where(m.dot(ds.d, ng) > 0, RAY_EPS, -RAY_EPS)[:, None]
-    blocked = trace.any_hit(scene, shadow_o, ds.d, ds.dist)
+    # raw-origin shadow ray, t in (eps, dist*(1-eps)) — see path.py note
+    blocked = trace.any_hit(scene, p, ds.d, ds.dist)
     ok = active & (ds.pdf > 0.0) & ~blocked
     w = power_heuristic(ds.pdf, pdf_b)
     L = L + jnp.where(
@@ -77,7 +77,7 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
     # env hit through BSDF sample
     if scene.has_env:
         w2e = jnp.where(
-            is_delta, 1.0, power_heuristic(pdf, emitterlib.pdf_direct_env(scene))
+            is_delta, 1.0, power_heuristic(pdf, emitterlib.pdf_direct_env(scene, d2))
         )
         env_le = emitterlib.env_radiance(scene, d2)
         L = L + jnp.where(

@@ -31,15 +31,28 @@ RAY_EPS = 1e-3
 
 
 def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
+    return _li(scene, cam, o, d, stream, cfg, with_stats=False)
+
+
+def li_with_stats(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig):
+    """Like li() but also returns the number of *useful* rays traced
+    (active closest-hit lanes + NEE shadow rays) — the honest numerator for
+    the rays/s benchmark (kdbench analog, src/utils/kdbench.cpp:35)."""
+    return _li(scene, cam, o, d, stream, cfg, with_stats=True)
+
+
+def _li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig,
+        with_stats: bool):
     n = o.shape[0]
     families = scene.bsdf_families
 
     def bounce_u(bounce, k):
         dim = SENSOR_DIMS + bounce * DIMS_PER_BOUNCE + k
-        return uniform(stream.seed, stream.pixel, stream.sample, dim)
+        return stream.at_dim(dim)
 
     def body(t, state):
-        o, d, L, beta, active, prev_pdf, prev_delta, eta_scale = state
+        o, d, L, beta, active, prev_pdf, prev_delta, eta_scale, rays = state
+        rays = rays + jnp.sum(active.astype(jnp.float32))
 
         its = trace.closest_hit(scene, o, d)
         si = trace.surface_interaction(scene, o, d, its)
@@ -50,7 +63,7 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         env_le = emitterlib.env_radiance(scene, d)
         if scene.has_env:
             w_env = jnp.where(
-                prev_delta, 1.0, power_heuristic(prev_pdf, emitterlib.pdf_direct_env(scene))
+                prev_delta, 1.0, power_heuristic(prev_pdf, emitterlib.pdf_direct_env(scene, d))
             )
             if cfg.hide_emitters:
                 w_env = jnp.where(t == 0, 0.0, w_env)
@@ -90,8 +103,12 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         if cfg.strict_normals:
             same_side = (m.dot(ds.d, ng) * m.cos_theta(wo_local)) > 0.0
             nee_possible = nee_possible & same_side
-        shadow_o = p + ng * jnp.where(m.dot(ds.d, ng) > 0, RAY_EPS, -RAY_EPS)[:, None]
-        blocked = trace.any_hit(scene, shadow_o, ds.d, ds.dist)
+        # shadow ray from the raw point with t in (eps, dist*(1-eps)) —
+        # Mitsuba's Ray(p, d, Epsilon, dist*(1-ShadowEpsilon)) convention.
+        # A normal-offset origin would shorten the flight and make the ray
+        # hit the light quad itself inside the guard band (self-shadowing).
+        blocked = trace.any_hit(scene, p, ds.d, ds.dist)
+        rays = rays + jnp.sum(nee_possible.astype(jnp.float32))
         w_nee = power_heuristic(ds.pdf, pdf_bsdf_nee)
         contrib = beta * f_nee * ds.radiance * m.safe_div(w_nee, ds.pdf)[:, None]
         L = L + jnp.where((nee_possible & ~blocked)[:, None], contrib, 0.0)
@@ -137,6 +154,7 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
             jnp.where(alive, pdf, prev_pdf),
             jnp.where(alive, is_delta, prev_delta),
             eta_scale,
+            rays,
         )
 
     state = (
@@ -148,6 +166,15 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         jnp.ones((n,)),
         jnp.ones((n,), bool),  # camera rays are "delta" for MIS
         jnp.ones((n,)),
+        jnp.zeros((), jnp.float32),
     )
-    state = jax.lax.fori_loop(0, cfg.max_depth, body, state)
+    if cfg.unroll:
+        # Static unroll: bounce index is a Python int, so QMC samplers get
+        # static dimensions and XLA can specialize/fuse per bounce.
+        for t in range(cfg.max_depth):
+            state = body(t, state)
+    else:
+        state = jax.lax.fori_loop(0, cfg.max_depth, body, state)
+    if with_stats:
+        return state[2], state[8]
     return state[2]

@@ -93,6 +93,11 @@ def read_exr(path) -> np.ndarray:
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][1][0]
+    if comp not in (0, 2, 3):
+        raise NotImplementedError(
+            f"EXR compression {comp} (PIZ/PXR24/B44/DWA) not supported yet; "
+            "re-save with ZIP or NONE"
+        )
     # parse channel list
     chan_raw = attrs["channels"][1]
     cpos = 0
@@ -217,6 +222,165 @@ def write_npy(path, img: np.ndarray) -> None:
     np.save(path, np.asarray(img, np.float32))
 
 
+def read_png(path) -> np.ndarray:
+    """Read 8/16-bit RGB(A)/gray PNG -> float32 linear (sRGB decoded)."""
+    buf = Path(path).read_bytes()
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    meta = {}
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        payload = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            meta.update(w=w, h=h, depth=depth, color=color, interlace=interlace)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    assert meta["interlace"] == 0, "interlaced PNG unsupported"
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[meta["color"]]
+    assert meta["depth"] in (8, 16)
+    bpp = nch * meta["depth"] // 8
+    w, h = meta["w"], meta["h"]
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + stride], np.uint8).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            rec = line.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft == 3:
+            rec = line.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    if meta["depth"] == 16:
+        arr = out.reshape(h, w, nch, 2)
+        vals = (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
+        img = vals.astype(np.float32) / 65535.0
+    else:
+        img = out.reshape(h, w, nch).astype(np.float32) / 255.0
+    if nch == 1:
+        img = np.repeat(img, 3, -1)
+    elif nch == 2:
+        img = np.repeat(img[..., :1], 3, -1)
+    elif nch == 4:
+        img = img[..., :3]
+    # sRGB -> linear (bitmap.cpp converts gamma on load)
+    return np.where(img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def read_auto(path) -> np.ndarray:
+    """Load any supported image (Bitmap::Bitmap(path) analog); HDR formats
+    return linear radiance, PNG is sRGB-decoded to linear."""
+    p = str(path)
+    if p.endswith(".exr"):
+        return read_exr(p)
+    if p.endswith(".pfm"):
+        return read_pfm(p)
+    if p.endswith(".npy"):
+        return np.asarray(np.load(p), np.float32)
+    if p.endswith(".png"):
+        return read_png(p)
+    if p.endswith(".hdr") or p.endswith(".rgbe"):
+        return read_rgbe(p)
+    raise ValueError(f"unsupported image format: {p}")
+
+
+# ---------------------------------------------------------------------------
+# Radiance RGBE (.hdr) (bitmap.h ERGBE)
+# ---------------------------------------------------------------------------
+
+def read_rgbe(path) -> np.ndarray:
+    with open(path, "rb") as f:
+        line = f.readline()
+        assert line.startswith(b"#?"), "not an RGBE file"
+        while True:
+            line = f.readline().strip()
+            if not line:
+                break
+        dims = f.readline().split()
+        assert dims[0] == b"-Y", "unsupported RGBE orientation"
+        h, w = int(dims[1]), int(dims[3])
+        data = f.read()
+    img = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if data[pos : pos + 2] == b"\x02\x02":  # RLE scanline
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    cnt = data[pos]
+                    pos += 1
+                    if cnt > 128:
+                        img[y, x : x + cnt - 128, c] = data[pos]
+                        pos += 1
+                        x += cnt - 128
+                    else:
+                        img[y, x : x + cnt, c] = np.frombuffer(
+                            data[pos : pos + cnt], np.uint8
+                        )
+                        pos += cnt
+                        x += cnt
+        else:  # flat
+            row = np.frombuffer(data[pos : pos + w * 4], np.uint8).reshape(w, 4)
+            img[y] = row
+            pos += w * 4
+    e = img[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    # +0.5 mantissa-center convention (matches the reference's rgbe decode)
+    return ((img[..., :3].astype(np.float32) + 0.5) * scale[..., None]
+            * (img[..., 3:4] > 0)).astype(np.float32)
+
+
+def write_rgbe(path, img: np.ndarray) -> None:
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    m = img.max(-1)
+    # m = f * 2^e with f in [0.5, 1); mantissa byte = v * 2^(8-e)
+    f, e = np.frexp(np.maximum(m, 1e-32))
+    scale = np.ldexp(1.0, 8 - e)
+    nz = m > 1e-32
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.where(
+        nz[..., None], np.clip(img * scale[..., None], 0, 255), 0
+    ).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
 def write_image(path, img) -> None:
     """Dispatch on extension (Bitmap::write analog)."""
     img = np.asarray(img)
@@ -229,5 +393,7 @@ def write_image(path, img) -> None:
         write_png(p, img)
     elif p.endswith(".npy"):
         write_npy(p, img)
+    elif p.endswith(".hdr") or p.endswith(".rgbe"):
+        write_rgbe(p, img)
     else:
         raise ValueError(f"unsupported image format: {p}")

@@ -80,11 +80,19 @@ def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
 
     # --- environment branch --------------------------------------------
     if scene.has_env:
-        d_env = warp.square_to_uniform_sphere(u3[..., 1:3])
-        pdf_env = jnp.full((n,), warp.square_to_uniform_sphere_pdf())
+        if scene.envmap is not None:
+            from ..scene import envmap as envlib
+
+            d_env, pdf_env, rad_env = envlib.sample_direction(
+                scene.envmap, u3[..., 1:3]
+            )
+        else:
+            d_env = warp.square_to_uniform_sphere(u3[..., 1:3])
+            pdf_env = jnp.full((n,), warp.square_to_uniform_sphere_pdf())
+            rad_env = jnp.broadcast_to(scene.env_radiance, (n, 3))
         d = jnp.where(pick_env[:, None], d_env, d)
         dist = jnp.where(pick_env, m.INF * 0.1, dist)
-        rad = jnp.where(pick_env[:, None], scene.env_radiance[None, :], rad)
+        rad = jnp.where(pick_env[:, None], rad_env, rad)
         pdf = jnp.where(
             pick_env, pdf_env * env_p, pdf_area_sa * (1.0 - env_p)
         )
@@ -107,14 +115,26 @@ def pdf_direct_area(scene, ref_p, d, dist, prim, cos_l) -> jax.Array:
     return pdf * (1.0 - env_p)
 
 
-def pdf_direct_env(scene) -> jax.Array:
-    env_p = ENV_SELECT_P if scene.has_env else 0.0
-    return jnp.float32(warp.square_to_uniform_sphere_pdf() * env_p)
+def pdf_direct_env(scene, d: jax.Array) -> jax.Array:
+    """Solid-angle pdf of sample_direct's env branch for direction d
+    (MIS weight for BSDF samples that escape)."""
+    if not scene.has_env:
+        return jnp.zeros(d.shape[:-1], jnp.float32)
+    if scene.envmap is not None:
+        from ..scene import envmap as envlib
+
+        return envlib.pdf_direction(scene.envmap, d) * ENV_SELECT_P
+    return jnp.full(
+        d.shape[:-1], warp.square_to_uniform_sphere_pdf() * ENV_SELECT_P
+    )
 
 
 def env_radiance(scene, d: jax.Array) -> jax.Array:
-    """Environment emission for escaped rays (constant emitter,
-    src/emitters/constant.cpp)."""
+    """Environment emission for escaped rays (constant.cpp / envmap.cpp)."""
     if not scene.has_env:
         return jnp.zeros(d.shape[:-1] + (3,), d.dtype)
+    if scene.envmap is not None:
+        from ..scene import envmap as envlib
+
+        return envlib.eval_radiance(scene.envmap, d)
     return jnp.broadcast_to(scene.env_radiance, d.shape[:-1] + (3,))

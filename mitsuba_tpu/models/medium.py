@@ -1,0 +1,145 @@
+"""Participating media: homogeneous (and grid-density heterogeneous).
+
+TPU-native analog of src/medium/homogeneous.cpp (closed-form transmittance,
+per-channel distance sampling) and Medium::sampleDistance/evalTransmittance
+(include/mitsuba/render/medium.h:120,151). The medium is a scene-global
+pytree leaf (sigma_t/albedo differentiable); heterogeneous grids use
+ratio/delta tracking over a dense density grid (src/medium/heterogeneous.cpp
++ src/volume/gridvolume.cpp analog).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import math as m
+from . import phase as phaselib
+
+MEDIUM_HOMOGENEOUS = 0
+MEDIUM_GRID = 1
+
+
+@struct.dataclass
+class Medium:
+    sigma_t: jax.Array    # (3,) extinction
+    albedo: jax.Array     # (3,) single-scattering albedo (sigma_s/sigma_t)
+    g: jax.Array          # () HG asymmetry
+    # grid media (kind=MEDIUM_GRID): density modulates sigma_t
+    density: jax.Array = None          # (D,H,W) or (1,1,1)
+    box_min: jax.Array = None          # (3,)
+    box_max: jax.Array = None          # (3,)
+    kind: int = struct.field(pytree_node=False, default=MEDIUM_HOMOGENEOUS)
+    phase: int = struct.field(pytree_node=False, default=phaselib.PHASE_HG)
+
+
+def make_homogeneous(sigma_s, sigma_a, g=0.0,
+                     phase: int = phaselib.PHASE_HG) -> Medium:
+    sigma_s = jnp.asarray(sigma_s, jnp.float32)
+    sigma_a = jnp.asarray(sigma_a, jnp.float32)
+    sigma_t = sigma_s + sigma_a
+    albedo = jnp.where(sigma_t > 0, sigma_s / jnp.maximum(sigma_t, 1e-20), 0.0)
+    return Medium(
+        sigma_t=sigma_t, albedo=albedo, g=jnp.float32(g),
+        density=jnp.ones((1, 1, 1), jnp.float32),
+        box_min=jnp.zeros(3, jnp.float32), box_max=jnp.ones(3, jnp.float32),
+        kind=MEDIUM_HOMOGENEOUS, phase=phase,
+    )
+
+
+def make_grid(density: np.ndarray, sigma_t_scale, albedo, g=0.0,
+              box_min=(0, 0, 0), box_max=(1, 1, 1),
+              phase: int = phaselib.PHASE_HG) -> Medium:
+    """Heterogeneous medium: sigma_t(x) = density(x) * sigma_t_scale."""
+    return Medium(
+        sigma_t=jnp.asarray(sigma_t_scale, jnp.float32) * jnp.ones(3),
+        albedo=jnp.asarray(albedo, jnp.float32) * jnp.ones(3),
+        g=jnp.float32(g),
+        density=jnp.asarray(density, jnp.float32),
+        box_min=jnp.asarray(box_min, jnp.float32),
+        box_max=jnp.asarray(box_max, jnp.float32),
+        kind=MEDIUM_GRID, phase=phase,
+    )
+
+
+def density_at(med: Medium, p: jax.Array) -> jax.Array:
+    """Trilinear density lookup in the grid's box; 0 outside
+    (gridvolume.cpp lookupFloat)."""
+    rel = (p - med.box_min) / jnp.maximum(med.box_max - med.box_min, 1e-9)
+    inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+    d_, h_, w_ = med.density.shape
+    # grid is indexed [z, y, x] like gridvolume's row-major layout
+    fx = rel[..., 0] * (w_ - 1)
+    fy = rel[..., 1] * (h_ - 1)
+    fz = rel[..., 2] * (d_ - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, max(w_ - 2, 0))
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, max(h_ - 2, 0))
+    z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, max(d_ - 2, 0))
+    tx = jnp.clip(fx - x0, 0.0, 1.0)
+    ty = jnp.clip(fy - y0, 0.0, 1.0)
+    tz = jnp.clip(fz - z0, 0.0, 1.0)
+    x1 = jnp.minimum(x0 + 1, w_ - 1)
+    y1 = jnp.minimum(y0 + 1, h_ - 1)
+    z1 = jnp.minimum(z0 + 1, d_ - 1)
+    g = med.density
+    c = (
+        g[z0, y0, x0] * (1 - tx) * (1 - ty) * (1 - tz)
+        + g[z0, y0, x1] * tx * (1 - ty) * (1 - tz)
+        + g[z0, y1, x0] * (1 - tx) * ty * (1 - tz)
+        + g[z0, y1, x1] * tx * ty * (1 - tz)
+        + g[z1, y0, x0] * (1 - tx) * (1 - ty) * tz
+        + g[z1, y0, x1] * tx * (1 - ty) * tz
+        + g[z1, y1, x0] * (1 - tx) * ty * tz
+        + g[z1, y1, x1] * tx * ty * tz
+    )
+    return jnp.where(inside, c, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Homogeneous closed forms (homogeneous.cpp)
+# ---------------------------------------------------------------------------
+
+def transmittance(med: Medium, dist: jax.Array) -> jax.Array:
+    """Tr over a straight segment of length dist: (N,3)."""
+    return jnp.exp(-med.sigma_t[None, :] * jnp.minimum(dist, 1e30)[:, None])
+
+
+def transmittance_grid(med: Medium, o, d, dist, u, steps: int = 32) -> jax.Array:
+    """Ratio-tracking-free quadrature transmittance for grid media:
+    jittered Riemann sum of sigma_t along the segment (deterministic step
+    count keeps shapes static; `u` jitters to stay unbiased in expectation)."""
+    dt = dist / steps
+    ts = (jnp.arange(steps)[None, :] + u[:, None]) * dt[:, None]
+    pts = o[:, None, :] + d[:, None, :] * ts[..., None]
+    dens = density_at(med, pts.reshape(-1, 3)).reshape(o.shape[0], steps)
+    optical = (dens * dt[:, None]).sum(-1)
+    return jnp.exp(-med.sigma_t[None, :] * optical[:, None])
+
+
+def sample_distance(med: Medium, u_chan: jax.Array, u_dist: jax.Array,
+                    t_surface: jax.Array):
+    """Spectral distance sampling with uniform channel selection
+    (homogeneous.cpp sampleDistance): returns
+    (t, is_medium, weight_medium (N,3), weight_surface (N,3)).
+
+    weight_* are the throughput factors Tr * sigma_s / pdf for a medium
+    event and Tr / pdf for reaching the surface, already MIS-averaged over
+    channels (the reference picks a channel uniformly; we do the same and
+    use the channel-average pdf -> unbiased with lower variance).
+    """
+    c = jnp.minimum((u_chan * 3).astype(jnp.int32), 2)
+    sig_c = med.sigma_t[c]
+    t = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-38)) / jnp.maximum(sig_c, 1e-20)
+    is_medium = t < t_surface
+    tr_t = jnp.exp(-med.sigma_t[None, :] * t[:, None])
+    tr_s = jnp.exp(-med.sigma_t[None, :] * t_surface[:, None])
+    # pdfs averaged over channel choice
+    pdf_medium = jnp.mean(med.sigma_t[None, :] * tr_t, axis=-1)
+    pdf_surface = jnp.mean(tr_s, axis=-1)
+    sigma_s = med.sigma_t * med.albedo
+    w_med = tr_t * sigma_s[None, :] / jnp.maximum(pdf_medium, 1e-30)[:, None]
+    w_surf = tr_s / jnp.maximum(pdf_surface, 1e-30)[:, None]
+    return t, is_medium, w_med, w_surf

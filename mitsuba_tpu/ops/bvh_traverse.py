@@ -1,0 +1,158 @@
+"""Stackless threaded-BVH traversal over ray wavefronts.
+
+The device-side half of scene/bvh.py: each ray carries a single int32 node
+cursor; visiting a node either descends (cursor = left child = 2i+1) when
+the slab test passes, or jumps to the precomputed miss link. Leaves test
+their LEAF_SIZE triangles in one vectorized step. All rays advance in
+lockstep inside one lax.while_loop — the wavefront analog of the
+reference's Havran traversal + SSE packets (skdtree.cpp:135,241), with no
+recursion and no per-ray stack (TPU has no cheap local memory for one).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..scene.bvh import BVH, LEAF_SIZE
+from .intersect import BARY_EPS, Intersection, SHADOW_EPS
+
+
+def _slab_test(bmin, bmax, o, inv_d, t_best):
+    """Ray-AABB slab test. All args (N,3)/(N,). Returns hit mask (N,)."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    t_enter = jnp.max(tmin, axis=-1)
+    t_exit = jnp.min(tmax, axis=-1)
+    return (t_enter <= t_exit) & (t_exit > SHADOW_EPS) & (t_enter < t_best)
+
+
+def _leaf_tris(scene, bvh: BVH, leaf_id):
+    """Gather the LEAF_SIZE triangles of each ray's leaf: (N, LEAF, 3) x3.
+    Padded slots (-1) get degenerate far-away triangles."""
+    base = leaf_id * LEAF_SIZE
+    tidx = bvh.tri_order[base[:, None] + jnp.arange(LEAF_SIZE)[None, :]]  # (N,L)
+    pad = tidx < 0
+    tsafe = jnp.maximum(tidx, 0)
+    i = scene.indices[tsafe]                  # (N,L,3)
+    v = scene.vertices
+    p0 = v[i[..., 0]]
+    e1 = v[i[..., 1]] - p0
+    e2 = v[i[..., 2]] - p0
+    far = jnp.asarray([3.0e37, 3.0e37, 3.0e37])
+    p0 = jnp.where(pad[..., None], far, p0)
+    e1 = jnp.where(pad[..., None], 0.0, e1)
+    e2 = jnp.where(pad[..., None], 0.0, e2)
+    return p0, e1, e2, tsafe
+
+
+def _tri_hits(o, d, p0, e1, e2, eps=SHADOW_EPS):
+    """Moller-Trumbore for (N, L) triangle sets. Returns (t, u, v, hit)."""
+    pvec = jnp.cross(d[:, None, :], e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    bad = jnp.abs(det) < 1e-12
+    inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
+    tvec = o[:, None, :] - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS) & (t > eps) & ~bad
+    return t, u, v, hit
+
+
+def closest_hit(scene, bvh: BVH, o, d, tmax=None) -> Intersection:
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), m.INF)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    n_int = bvh.n_internal
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node >= 0)
+
+    def body(state):
+        node, best_t, best_prim, best_b1, best_b2 = state
+        live = node >= 0
+        nsafe = jnp.maximum(node, 0)
+        bmin = bvh.aabb_min[nsafe]
+        bmax = bvh.aabb_max[nsafe]
+        box_hit = _slab_test(bmin, bmax, o, inv_d, best_t) & live
+        is_leaf = nsafe >= n_int
+
+        # Leaf: test triangles (only meaningful where box_hit & is_leaf).
+        leaf_id = nsafe - n_int
+        p0, e1, e2, tidx = _leaf_tris(scene, bvh, leaf_id)
+        t, u, v, hit = _tri_hits(o, d, p0, e1, e2)
+        hit = hit & (t < best_t[:, None]) & (t < tmax[:, None]) & (box_hit & is_leaf)[:, None]
+        t = jnp.where(hit, t, m.INF)
+        j = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n)
+        cand_t = t[rows, j]
+        better = cand_t < best_t
+        best_t = jnp.where(better, cand_t, best_t)
+        best_prim = jnp.where(better, tidx[rows, j], best_prim)
+        best_b1 = jnp.where(better, u[rows, j], best_b1)
+        best_b2 = jnp.where(better, v[rows, j], best_b2)
+
+        descend = box_hit & ~is_leaf
+        miss = bvh.miss_link[nsafe]
+        nxt = jnp.where(descend, 2 * nsafe + 1, miss)
+        node = jnp.where(live, nxt, node)
+        return node, best_t, best_prim, best_b1, best_b2
+
+    state = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.asarray(tmax),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+    )
+    node, best_t, best_prim, best_b1, best_b2 = jax.lax.while_loop(cond, body, state)
+    valid = best_t < jnp.asarray(tmax)
+    return Intersection(
+        valid=valid,
+        t=jnp.where(valid, best_t, m.INF),
+        prim=jnp.where(valid, best_prim, 0),
+        b1=best_b1,
+        b2=best_b2,
+    )
+
+
+def any_hit(scene, bvh: BVH, o, d, tmax) -> jax.Array:
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    n_int = bvh.n_internal
+    limit = tmax * (1.0 - SHADOW_EPS)
+
+    def cond(state):
+        node, blocked = state
+        return jnp.any(node >= 0)
+
+    def body(state):
+        node, blocked = state
+        live = node >= 0
+        nsafe = jnp.maximum(node, 0)
+        bmin = bvh.aabb_min[nsafe]
+        bmax = bvh.aabb_max[nsafe]
+        box_hit = _slab_test(bmin, bmax, o, inv_d, limit) & live
+        is_leaf = nsafe >= n_int
+        leaf_id = nsafe - n_int
+        p0, e1, e2, _ = _leaf_tris(scene, bvh, leaf_id)
+        t, _, _, hit = _tri_hits(o, d, p0, e1, e2)
+        hit = hit & (t < limit[:, None]) & (box_hit & is_leaf)[:, None]
+        blocked = blocked | jnp.any(hit, axis=1)
+
+        descend = box_hit & ~is_leaf
+        miss = bvh.miss_link[nsafe]
+        nxt = jnp.where(descend, 2 * nsafe + 1, miss)
+        # blocked rays stop traversing
+        node = jnp.where(live & ~blocked, nxt, jnp.where(blocked, -1, node))
+        return node, blocked
+
+    state = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool))
+    _, blocked = jax.lax.while_loop(cond, body, state)
+    return blocked

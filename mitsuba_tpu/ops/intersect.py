@@ -26,6 +26,10 @@ import jax.numpy as jnp
 from ..core import math as m
 
 SHADOW_EPS = 1e-3
+# Barycentric slack: accept hits marginally outside the triangle so rays
+# through shared edges/corners can't slip between both triangles (cheap
+# watertightness; double hits at seams resolve via closest-t).
+BARY_EPS = 1e-6
 
 
 class Intersection(NamedTuple):
@@ -88,7 +92,7 @@ def intersect_brute(
         v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
         t = jnp.sum(ce2[None, :, :] * qvec, axis=-1) * inv_det
         hit = (
-            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
             & (t > SHADOW_EPS) & (t < best_t[:, None]) & (t < tmax[:, None])
             & (inv_det != 0.0)
         )
@@ -150,7 +154,7 @@ def occluded_brute(
         v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
         t = jnp.sum(ce2[None, :, :] * qvec, axis=-1) * inv_det
         hit = (
-            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
             & (t > SHADOW_EPS) & (t < tmax[:, None] * (1.0 - SHADOW_EPS))
             & (inv_det != 0.0)
         )

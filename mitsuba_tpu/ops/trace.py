@@ -13,18 +13,16 @@ from . import intersect as _isect
 
 
 def closest_hit(scene, o: jax.Array, d: jax.Array, tmax=None) -> _isect.Intersection:
-    bvh = scene.aux.get("bvh") if isinstance(scene.aux, dict) else None
-    if bvh is not None:
+    if scene.bvh is not None:
         from . import bvh_traverse
-        return bvh_traverse.closest_hit(scene, bvh, o, d, tmax)
+        return bvh_traverse.closest_hit(scene, scene.bvh, o, d, tmax)
     return _isect.intersect_brute(scene, o, d, tmax)
 
 
 def any_hit(scene, o: jax.Array, d: jax.Array, tmax) -> jax.Array:
-    bvh = scene.aux.get("bvh") if isinstance(scene.aux, dict) else None
-    if bvh is not None:
+    if scene.bvh is not None:
         from . import bvh_traverse
-        return bvh_traverse.any_hit(scene, bvh, o, d, tmax)
+        return bvh_traverse.any_hit(scene, scene.bvh, o, d, tmax)
     return _isect.occluded_brute(scene, o, d, tmax)
 
 

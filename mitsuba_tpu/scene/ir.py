@@ -162,6 +162,15 @@ class Scene:
     tex_transform: jax.Array   # (K, 4) uv scale_u, scale_v, offset_u, offset_v
     tex_nearest: jax.Array     # (K,) int32 1 = nearest (procedural grids)
 
+    # Acceleration structure (None = brute-force VPU path; scene/bvh.py)
+    bvh: Any = None
+
+    # Environment map emitter (None = constant env_radiance; scene/envmap.py)
+    envmap: Any = None
+
+    # Scene-global participating medium (None = vacuum; models/medium.py)
+    medium: Any = None
+
     # Static metadata
     num_triangles: int = struct.field(pytree_node=False, default=0)
     bsdf_families: tuple = struct.field(pytree_node=False, default=())

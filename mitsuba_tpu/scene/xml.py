@@ -1,0 +1,502 @@
+"""Mitsuba XML scene loader -> flattened Scene IR + Camera + RenderConfig.
+
+Compatibility layer replacing the reference's Xerces SceneHandler
+(src/librender/scenehandler.cpp:197,273,712 — tag -> Properties ->
+PluginManager::createObject) so reference scenes drive this framework
+directly. Supported today: the plugin subset the IR implements (see
+_BSDF_MAP / _SHAPES below); unknown plugins raise with the plugin name, the
+analog of PluginManager's load failure.
+
+Also implements `$key` parameter substitution (mitsuba.cpp:58 -D flags) and
+<default> declarations.
+"""
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+import numpy as np
+
+from ..integrators import common as integ_common
+from ..models import sensor as sensorlib
+from . import ir, shapes as shapelib
+
+
+# ---------------------------------------------------------------------------
+# Transforms (scenehandler.cpp transform tags)
+# ---------------------------------------------------------------------------
+
+def _mat_translate(x, y, z):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = (x, y, z)
+    return m
+
+
+def _mat_scale(x, y, z):
+    return np.diag([x, y, z, 1.0]).astype(np.float32)
+
+
+def _mat_rotate(axis, angle_deg):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    a = np.deg2rad(angle_deg)
+    c, s = np.cos(a), np.sin(a)
+    x, y, z = axis
+    r = np.asarray([
+        [c + x * x * (1 - c), x * y * (1 - c) - z * s, x * z * (1 - c) + y * s],
+        [y * x * (1 - c) + z * s, c + y * y * (1 - c), y * z * (1 - c) - x * s],
+        [z * x * (1 - c) - y * s, z * y * (1 - c) + x * s, c + z * z * (1 - c)],
+    ])
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = r
+    return m
+
+
+def _parse_transform(node, subst):
+    m = np.eye(4, dtype=np.float32)
+    for child in node:
+        tag = child.tag
+        if tag == "translate":
+            t = _mat_translate(*(_fattr(child, k, 0.0, subst) for k in "xyz"))
+        elif tag == "scale":
+            if "value" in child.attrib:
+                v = _f(child.attrib["value"], subst)
+                t = _mat_scale(v, v, v)
+            else:
+                t = _mat_scale(*(_fattr(child, k, 1.0, subst) for k in "xyz"))
+        elif tag == "rotate":
+            axis = [_fattr(child, k, 0.0, subst) for k in "xyz"]
+            t = _mat_rotate(axis, _f(child.attrib.get("angle", "0"), subst))
+        elif tag in ("lookat", "lookAt"):
+            origin = _vec(child.attrib["origin"], subst)
+            target = _vec(child.attrib["target"], subst)
+            up = _vec(child.attrib.get("up", "0, 1, 0"), subst)
+            t = sensorlib.look_at(origin, target, up)
+        elif tag == "matrix":
+            vals = [_f(v, subst) for v in child.attrib["value"].replace(",", " ").split()]
+            t = np.asarray(vals, np.float32).reshape(4, 4)
+        else:
+            raise ValueError(f"unsupported transform tag <{tag}>")
+        m = t @ m
+    return m
+
+
+def _f(s, subst):
+    s = _substitute(s, subst)
+    return float(s)
+
+
+def _fattr(node, key, default, subst):
+    return _f(node.attrib.get(key, str(default)), subst)
+
+
+def _vec(s, subst):
+    s = _substitute(s, subst)
+    parts = s.replace(",", " ").split()
+    v = [float(p) for p in parts]
+    if len(v) == 1:
+        v = v * 3
+    return np.asarray(v, np.float32)
+
+
+def _substitute(s, subst):
+    if "$" in s:
+        for k, v in subst.items():
+            s = s.replace(f"${k}", str(v))
+    return s
+
+
+def _props(node, subst):
+    """Collect child <integer/float/boolean/string/spectrum/rgb/point/vector
+    /transform/texture/ref> tags into a dict (Properties analog)."""
+    p = {}
+    for child in node:
+        name = child.attrib.get("name", "")
+        tag = child.tag
+        if tag == "integer":
+            p[name] = int(_f(child.attrib["value"], subst))
+        elif tag == "float":
+            p[name] = _f(child.attrib["value"], subst)
+        elif tag == "boolean":
+            p[name] = _substitute(child.attrib["value"], subst).lower() == "true"
+        elif tag == "string":
+            p[name] = _substitute(child.attrib["value"], subst)
+        elif tag in ("spectrum", "rgb", "srgb"):
+            v = _vec(child.attrib["value"], subst)
+            if tag == "srgb":
+                v = np.where(v <= 0.04045, v / 12.92, ((v + 0.055) / 1.055) ** 2.4)
+            p[name] = v
+        elif tag in ("point", "vector"):
+            p[name] = np.asarray(
+                [_fattr(child, k, 0.0, subst) for k in "xyz"], np.float32
+            )
+        elif tag == "transform":
+            p[name] = _parse_transform(child, subst)
+        elif tag == "texture":
+            p[name] = ("texture", child)
+        elif tag == "ref":
+            p[name or "_ref"] = ("ref", child.attrib["id"])
+        else:
+            p.setdefault("_children", []).append(child)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# BSDF conversion (plugin name -> material record)
+# ---------------------------------------------------------------------------
+
+_DIST = {"beckmann": ir.MICROFACET_BECKMANN, "ggx": ir.MICROFACET_GGX,
+         "phong": ir.MICROFACET_GGX}
+
+# conductor material presets (subset of data/ior/*.spd; values at RGB)
+_CONDUCTORS = {
+    "cu": ([0.2, 0.92, 1.1], [3.9, 2.45, 2.14]),
+    "au": ([0.143, 0.375, 1.44], [3.98, 2.39, 1.60]),
+    "ag": ([0.155, 0.116, 0.138], [4.82, 3.12, 2.14]),
+    "al": ([1.66, 0.88, 0.52], [9.22, 6.27, 4.84]),
+    "none": ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+}
+
+
+class _Loader:
+    def __init__(self, base_dir: Path, subst: dict):
+        self.base = base_dir
+        self.subst = subst
+        self.materials: list[dict] = []
+        self.mat_ids: dict[str, int] = {}
+        self.textures: list[dict] = []
+        self.verts: list = []
+        self.normals: list = []
+        self.uvs: list = []
+        self.tris: list = []
+        self.tri_mat: list = []
+        self.tri_rad: dict = {}
+        self.env_radiance = None
+        self.cam = None
+        self.cfg_kw: dict = {}
+        self.width = 256
+        self.height = 256
+        self.integrator = "path"
+
+    # --- textures ------------------------------------------------------
+    def load_texture(self, node) -> int:
+        from ..models import texture as texlib
+        from ..io import image as imagelib
+
+        typ = node.attrib["type"]
+        p = _props(node, self.subst)
+        if typ == "bitmap":
+            fn = self.base / p["filename"]
+            data = imagelib.read_auto(str(fn))
+            rec = {"data": data,
+                   "transform": (p.get("uscale", 1.0), p.get("vscale", 1.0),
+                                 p.get("uoffset", 0.0), p.get("voffset", 0.0))}
+        elif typ == "checkerboard":
+            rec = texlib.checkerboard(
+                p.get("color0", np.asarray([0.4] * 3, np.float32)),
+                p.get("color1", np.asarray([0.2] * 3, np.float32)),
+            )
+            rec["transform"] = (2.0 * p.get("uscale", 1.0), 2.0 * p.get("vscale", 1.0),
+                                p.get("uoffset", 0.0), p.get("voffset", 0.0))
+        else:
+            raise ValueError(f"unsupported texture plugin '{typ}'")
+        self.textures.append(rec)
+        return len(self.textures) - 1
+
+    # --- BSDFs ---------------------------------------------------------
+    def convert_bsdf(self, node) -> int:
+        typ = node.attrib["type"]
+        p = _props(node, self.subst)
+        rec: dict = {}
+
+        def refl(key="reflectance", default=(0.5, 0.5, 0.5)):
+            val = p.get(key, p.get("diffuseReflectance", np.asarray(default, np.float32)))
+            if isinstance(val, tuple) and val[0] == "texture":
+                rec["tex_reflectance"] = self.load_texture(val[1])
+                return np.asarray([1.0, 1.0, 1.0], np.float32)
+            return np.asarray(val, np.float32)
+
+        def alpha_of(default=0.1):
+            a = p.get("alpha", default)
+            au = p.get("alphaU", a)
+            av = p.get("alphaV", a)
+            return [float(au), float(av)]
+
+        dist = _DIST.get(str(p.get("distribution", "beckmann")), ir.MICROFACET_BECKMANN)
+        eta_d = float(p.get("intIOR", 1.5046)) / float(p.get("extIOR", 1.000277))
+
+        if typ == "diffuse":
+            rec.update(type=ir.BSDF_DIFFUSE, reflectance=refl())
+        elif typ == "roughdiffuse":
+            rec.update(type=ir.BSDF_ROUGH_DIFFUSE, reflectance=refl(),
+                       alpha=alpha_of(0.2))
+        elif typ in ("conductor", "roughconductor"):
+            mat = str(p.get("material", "cu")).lower()
+            eta, k = _CONDUCTORS.get(mat, _CONDUCTORS["cu"])
+            eta = p.get("eta", np.asarray(eta, np.float32))
+            k = p.get("k", np.asarray(k, np.float32))
+            rec.update(eta=np.asarray(eta, np.float32), k=np.asarray(k, np.float32),
+                       specular=p.get("specularReflectance", np.ones(3, np.float32)))
+            if typ == "conductor":
+                rec["type"] = ir.BSDF_CONDUCTOR
+            else:
+                rec.update(type=ir.BSDF_ROUGH_CONDUCTOR, alpha=alpha_of(),
+                           extra=[0, 0, 0, dist])
+        elif typ in ("dielectric", "roughdielectric", "thindielectric"):
+            rec.update(eta=[eta_d] * 3,
+                       specular=p.get("specularReflectance", np.ones(3, np.float32)),
+                       reflectance=p.get("specularTransmittance", np.ones(3, np.float32)))
+            if typ == "thindielectric":
+                rec["type"] = ir.BSDF_THIN_DIELECTRIC
+            elif typ == "dielectric":
+                rec["type"] = ir.BSDF_DIELECTRIC
+            else:
+                rec.update(type=ir.BSDF_ROUGH_DIELECTRIC, alpha=alpha_of(),
+                           extra=[0, 0, 0, dist])
+        elif typ in ("plastic", "roughplastic"):
+            rec.update(type=ir.BSDF_PLASTIC if typ == "plastic" else ir.BSDF_ROUGH_PLASTIC,
+                       reflectance=refl("diffuseReflectance"),
+                       specular=p.get("specularReflectance", np.ones(3, np.float32)),
+                       eta=[eta_d] * 3)
+            if typ == "roughplastic":
+                rec.update(alpha=alpha_of(), extra=[0, 0, 0, dist])
+        elif typ == "phong":
+            rec.update(type=ir.BSDF_PHONG, reflectance=refl("diffuseReflectance"),
+                       specular=p.get("specularReflectance", np.asarray([0.2] * 3, np.float32)),
+                       extra=[float(p.get("exponent", 30.0)), 0, 0, 0])
+        elif typ == "difftrans":
+            rec.update(type=ir.BSDF_DIFFUSE_TRANSMITTER, reflectance=refl("transmittance"))
+        elif typ == "null":
+            rec.update(type=ir.BSDF_NULL)
+        elif typ == "twosided":
+            # adapter: mark nested bsdf as twosided via extra[2]
+            inner = [c for c in node if c.tag == "bsdf"]
+            refs = [c for c in node if c.tag == "ref"]
+            if inner:
+                mid = self.convert_bsdf(inner[0])
+            elif refs:
+                mid = self.mat_ids[refs[0].attrib["id"]]
+            else:
+                raise ValueError("twosided without nested bsdf")
+            self.materials[mid]["extra"] = list(self.materials[mid].get("extra", [0, 0, 0, 0]))
+            self.materials[mid]["extra"][2] = 1.0
+            if "id" in node.attrib:
+                self.mat_ids[node.attrib["id"]] = mid
+            return mid
+        elif typ == "mask":
+            inner = [c for c in node if c.tag == "bsdf"]
+            mid = self.convert_bsdf(inner[0]) if inner else 0
+            if "id" in node.attrib:
+                self.mat_ids[node.attrib["id"]] = mid
+            return mid  # opacity composited later; pass-through for now
+        else:
+            raise ValueError(f"unsupported bsdf plugin '{typ}'")
+
+        self.materials.append(rec)
+        mid = len(self.materials) - 1
+        if "id" in node.attrib:
+            self.mat_ids[node.attrib["id"]] = mid
+        return mid
+
+    # --- shapes --------------------------------------------------------
+    def add_mesh(self, verts, faces, mat_id, normals=None, uvs=None, radiance=None):
+        base = len(self.verts)
+        self.verts.extend(np.asarray(verts, np.float32))
+        if normals is None:
+            normals = np.zeros_like(np.asarray(verts, np.float32))
+        self.normals.extend(np.asarray(normals, np.float32))
+        if uvs is None:
+            uvs = np.zeros((len(verts), 2), np.float32)
+        self.uvs.extend(np.asarray(uvs, np.float32))
+        for f in np.asarray(faces, np.int32):
+            if radiance is not None:
+                self.tri_rad[len(self.tris)] = radiance
+            self.tris.append([f[0] + base, f[1] + base, f[2] + base])
+            self.tri_mat.append(mat_id)
+
+    def convert_shape(self, node):
+        typ = node.attrib["type"]
+        p = _props(node, self.subst)
+        to_world = p.get("toWorld", np.eye(4, dtype=np.float32))
+
+        # material: nested bsdf, ref, or default diffuse
+        mat_id = None
+        radiance = None
+        for child in node:
+            if child.tag == "bsdf":
+                mat_id = self.convert_bsdf(child)
+            elif child.tag == "ref":
+                rid = child.attrib["id"]
+                if rid in self.mat_ids:
+                    mat_id = self.mat_ids[rid]
+            elif child.tag == "emitter":
+                ep = _props(child, self.subst)
+                if child.attrib["type"] == "area":
+                    radiance = np.asarray(ep.get("radiance", [1, 1, 1]), np.float32)
+        if mat_id is None:
+            if radiance is not None:
+                self.materials.append({"type": ir.BSDF_DIFFUSE,
+                                       "reflectance": [0, 0, 0]})
+            else:
+                self.materials.append({"type": ir.BSDF_DIFFUSE,
+                                       "reflectance": [0.5, 0.5, 0.5]})
+            mat_id = len(self.materials) - 1
+
+        if typ == "rectangle":
+            v, f, n, uv = shapelib.rectangle()
+        elif typ == "cube":
+            v, f, n, uv = shapelib.cube()
+        elif typ == "sphere":
+            center = p.get("center", np.zeros(3, np.float32))
+            radius = float(p.get("radius", 1.0))
+            v, f, n, uv = shapelib.sphere(center, radius)
+        elif typ == "disk":
+            v, f, n, uv = shapelib.disk()
+        elif typ == "cylinder":
+            v, f, n, uv = shapelib.cylinder(
+                p.get("p0", np.asarray([0, 0, 0], np.float32)),
+                p.get("p1", np.asarray([0, 0, 1], np.float32)),
+                float(p.get("radius", 1.0)),
+            )
+        elif typ in ("obj", "ply"):
+            from ..io import mesh as meshlib
+
+            fn = self.base / p["filename"]
+            md = meshlib.load_obj(fn) if typ == "obj" else meshlib.load_ply(fn)
+            v, f = md.vertices, md.indices
+            n = md.normals if md.normals is not None else np.zeros_like(v)
+            uv = md.uvs if md.uvs is not None else np.zeros((len(v), 2), np.float32)
+            if p.get("faceNormals", False):
+                n = np.zeros_like(v)
+        else:
+            raise ValueError(f"unsupported shape plugin '{typ}'")
+
+        v, n2 = shapelib.apply_transform(to_world, v, n)
+        if np.linalg.det(np.asarray(to_world)[:3, :3]) < 0:
+            f = np.asarray(f)[:, ::-1]  # restore winding under reflections
+        has_n = np.abs(np.asarray(n)).sum() > 0
+        self.add_mesh(v, f, mat_id, normals=n2 if has_n else None, uvs=uv,
+                      radiance=radiance)
+
+    # --- top level -----------------------------------------------------
+    def convert_sensor(self, node):
+        p = _props(node, self.subst)
+        typ = node.attrib["type"]
+        to_world = p.get("toWorld", np.eye(4, dtype=np.float32))
+        fov = float(p.get("fov", 35.0))
+        spp = 16
+        for child in node:
+            if child.tag == "film":
+                fp = _props(child, self.subst)
+                self.width = int(fp.get("width", 768))
+                self.height = int(fp.get("height", 576))
+            elif child.tag == "sampler":
+                sp = _props(child, self.subst)
+                spp = int(sp.get("sampleCount", 16))
+                kind_map = {"independent": 0, "stratified": 1, "halton": 2,
+                            "ldsampler": 3, "sobol": 3, "hammersley": 2}
+                self.cfg_kw["sampler"] = kind_map.get(child.attrib.get("type"), 0)
+        self.cfg_kw["spp"] = spp
+        fov_axis = p.get("fovAxis", "x")
+        if fov_axis == "y":
+            # convert to fov_x (sensor.py uses x)
+            aspect = self.width / self.height
+            fov = np.rad2deg(2 * np.arctan(np.tan(np.deg2rad(fov / 2)) * aspect))
+        kind = {"perspective": sensorlib.SENSOR_PERSPECTIVE,
+                "thinlens": sensorlib.SENSOR_THINLENS,
+                "orthographic": sensorlib.SENSOR_ORTHOGRAPHIC,
+                "spherical": sensorlib.SENSOR_SPHERICAL}.get(typ, 0)
+        import jax.numpy as jnp
+        self.cam = sensorlib.Camera(
+            to_world=jnp.asarray(to_world),
+            fov_x=jnp.float32(fov),
+            aperture=jnp.float32(p.get("apertureRadius", 0.0)),
+            focus_dist=jnp.float32(p.get("focusDistance", 1.0)),
+            width=self.width,
+            height=self.height,
+            kind=kind,
+        )
+
+    def convert_integrator(self, node):
+        typ = node.attrib["type"]
+        p = _props(node, self.subst)
+        self.integrator = typ
+        md = int(p.get("maxDepth", -1))
+        self.cfg_kw["max_depth"] = 16 if md < 0 else md
+        if "rrDepth" in p:
+            self.cfg_kw["rr_depth"] = int(p["rrDepth"])
+        if "strictNormals" in p:
+            self.cfg_kw["strict_normals"] = bool(p["strictNormals"])
+        if "hideEmitters" in p:
+            self.cfg_kw["hide_emitters"] = bool(p["hideEmitters"])
+
+
+def load_xml(path, defaults: dict | None = None):
+    """Load a Mitsuba XML scene.
+
+    Returns (scene, camera, config, integrator_name). `defaults` override
+    <default> declarations ($key substitution, mitsuba -D parity).
+    """
+    path = Path(path)
+    tree = ET.parse(path)
+    root = tree.getroot()
+    if root.tag != "scene":
+        raise ValueError("root element must be <scene>")
+
+    subst = {}
+    for child in root:
+        if child.tag == "default":
+            subst[child.attrib["name"]] = child.attrib["value"]
+    if defaults:
+        subst.update(defaults)
+
+    ld = _Loader(path.parent, subst)
+    for child in root:
+        tag = child.tag
+        if tag == "integrator":
+            ld.convert_integrator(child)
+        elif tag == "sensor":
+            ld.convert_sensor(child)
+        elif tag == "bsdf":
+            ld.convert_bsdf(child)
+        elif tag == "shape":
+            ld.convert_shape(child)
+        elif tag == "emitter":
+            typ = child.attrib["type"]
+            p = _props(child, subst)
+            if typ == "constant":
+                ld.env_radiance = np.asarray(p.get("radiance", [1, 1, 1]), np.float32)
+            elif typ == "envmap":
+                from ..io import image as imagelib
+                data = imagelib.read_auto(str(path.parent / p["filename"]))
+                ld.env_radiance = None
+                ld.cfg_kw.setdefault("_envmap", data * float(p.get("scale", 1.0)))
+            elif typ in ("point", "spot", "directional", "sun", "sky", "sunsky"):
+                raise ValueError(f"emitter '{typ}' not yet supported by the loader")
+        elif tag in ("default", "alias", "include", "null"):
+            pass
+
+    envmap = ld.cfg_kw.pop("_envmap", None)
+    if not ld.tris:
+        raise ValueError("scene has no shapes")
+    normals = np.asarray(ld.normals, np.float32)
+    scene = ir.build_scene(
+        np.asarray(ld.verts, np.float32),
+        np.asarray(ld.tris, np.int32),
+        np.asarray(ld.tri_mat, np.int32),
+        ld.materials,
+        tri_radiance=ld.tri_rad,
+        normals=normals if np.abs(normals).sum() > 0 else None,
+        uvs=np.asarray(ld.uvs, np.float32),
+        env_radiance=ld.env_radiance,
+        textures=ld.textures or None,
+    )
+    if envmap is not None:
+        from . import envmap as envlib
+        scene = envlib.attach_envmap(scene, envmap)
+    cfg = integ_common.RenderConfig(**ld.cfg_kw)
+    if ld.cam is None:
+        ld.cam = sensorlib.make_camera([0, 0, -3], [0, 0, 0], width=ld.width,
+                                       height=ld.height)
+    return scene, ld.cam, cfg, ld.integrator

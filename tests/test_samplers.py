@@ -1,0 +1,92 @@
+"""Sampler tests (analog of src/tests/test_samplers.cpp:27-31): range,
+stratification property, low-discrepancy convergence."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.samplers import qmc
+
+
+def get(kind, n, pixel=3, dim=0, spp=None):
+    sample = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.full((n,), pixel, jnp.uint32)
+    return np.asarray(
+        qmc.sample_dim(kind, jnp.uint32(0), px, sample, dim, spp or n)
+    )
+
+
+@pytest.mark.parametrize("kind", [qmc.SAMPLER_INDEPENDENT, qmc.SAMPLER_STRATIFIED,
+                                  qmc.SAMPLER_HALTON, qmc.SAMPLER_LD])
+@pytest.mark.parametrize("dim", [0, 1, 3])
+def test_range(kind, dim):
+    u = get(kind, 1024, dim=dim)
+    assert np.all(u >= 0.0) and np.all(u < 1.0)
+
+
+def test_stratified_covers_strata():
+    n = 64
+    u = get(qmc.SAMPLER_STRATIFIED, n, spp=n)
+    strata = np.floor(u * n).astype(int)
+    assert len(np.unique(strata)) == n  # exactly one sample per stratum
+
+
+@pytest.mark.parametrize("kind,dim", [(qmc.SAMPLER_HALTON, 0), (qmc.SAMPLER_HALTON, 1),
+                                      (qmc.SAMPLER_LD, 0), (qmc.SAMPLER_LD, 1)])
+def test_qmc_star_discrepancy_better_than_random(kind, dim):
+    """1D star discrepancy of n QMC points ~ O(1/n) vs O(1/sqrt n) random."""
+    n = 1024
+    u = np.sort(get(kind, n, dim=dim))
+    # star discrepancy for sorted points
+    i = np.arange(1, n + 1)
+    disc = np.max(np.maximum(np.abs(u - i / n), np.abs(u - (i - 1) / n)))
+    assert disc < 0.02, disc  # random would be ~0.03-0.05
+
+
+def test_ld_pair_2d_uniform():
+    """The (VDC, Sobol2) pair is a (0,2)-sequence: every elementary
+    interval of area 1/n contains exactly one of n=16 points."""
+    n = 16
+    sample = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.zeros((n,), jnp.uint32)
+    x = np.asarray(qmc.sample_dim(qmc.SAMPLER_LD, jnp.uint32(5), px, sample, 0))
+    y = np.asarray(qmc.sample_dim(qmc.SAMPLER_LD, jnp.uint32(5), px, sample, 1))
+    # 4x4 stratification (one point per cell)
+    cells = set(zip((x * 4).astype(int), (y * 4).astype(int)))
+    assert len(cells) == 16
+    # 16x1 and 1x16 stratification too
+    assert len(np.unique((x * 16).astype(int))) == 16
+    assert len(np.unique((y * 16).astype(int))) == 16
+
+
+def test_pixel_decorrelation():
+    for kind in (qmc.SAMPLER_HALTON, qmc.SAMPLER_LD, qmc.SAMPLER_STRATIFIED):
+        a = get(kind, 256, pixel=1)
+        b = get(kind, 256, pixel=2)
+        assert not np.allclose(a, b), kind
+
+
+def test_halton_radical_inverse_base3():
+    out = np.asarray(
+        qmc.radical_inverse(jnp.uint32(3), jnp.arange(9, dtype=jnp.uint32))
+    )
+    expect = [0, 1 / 3, 2 / 3, 1 / 9, 4 / 9, 7 / 9, 2 / 9, 5 / 9, 8 / 9]
+    assert np.allclose(out, expect, atol=1e-6)
+
+
+def test_render_with_ld_sampler_converges_faster():
+    """LD sampling should beat independent at equal spp on a soft scene
+    (direct illumination, mostly smooth integrand)."""
+    from mitsuba_tpu.integrators import common, direct
+    from mitsuba_tpu.scene import builtin
+
+    scene, cam = builtin.cornell_box(width=16, height=16)
+    ref = np.asarray(common.render_jit(
+        scene, cam, direct.li,
+        common.RenderConfig(spp=1024, max_depth=2, seed=100, sampler=qmc.SAMPLER_LD)))
+    errs = {}
+    for kind in (qmc.SAMPLER_INDEPENDENT, qmc.SAMPLER_LD):
+        img = np.asarray(common.render_jit(
+            scene, cam, direct.li,
+            common.RenderConfig(spp=16, max_depth=2, seed=7, sampler=kind)))
+        errs[kind] = np.abs(img - ref).mean()
+    assert errs[qmc.SAMPLER_LD] < errs[qmc.SAMPLER_INDEPENDENT], errs

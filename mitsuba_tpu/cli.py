@@ -37,11 +37,19 @@ def build_argparser():
     ap.add_argument("--mesh", default=None, metavar="DP,SP",
                     help="device mesh shape for multi-chip rendering")
     ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debugging without a TPU)")
     return ap
+
+
+# Integrators with their own render drivers (not per-ray Li functions).
+SPECIAL_INTEGRATORS = ("ptracer", "sppm", "ppm", "photonmapper")
 
 
 def resolve_integrator(name: str):
     from .integrators import aov, direct, path, volpath
+
+    from .integrators import lvcbpt
 
     table = {
         "path": path.li,
@@ -52,15 +60,31 @@ def resolve_integrator(name: str):
         "normal": aov.li_normal,
         "field": aov.li_normal,
         "ao": aov.li_ao,
+        "lvcbpt": lvcbpt.li,
+        "bdpt": lvcbpt.li,   # cache-based bidirectional stands in for bdpt
+        "mypath": path.li,   # fork's instrumented tracer == path + mis_mode
+        "mypath2": path.li,
     }
+    if name in SPECIAL_INTEGRATORS:
+        return name
     if name not in table:
-        raise SystemExit(f"integrator '{name}' is not available (have: {sorted(table)})")
+        raise SystemExit(
+            f"integrator '{name}' is not available "
+            f"(have: {sorted(table) + list(SPECIAL_INTEGRATORS)})"
+        )
     return table[name]
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     t0 = time.time()
+
+    if args.cpu:
+        import jax
+
+        # NOTE: must run before any device use; the env var JAX_PLATFORMS
+        # can be overridden by PJRT bootstrap hooks, config.update is not
+        jax.config.update("jax_platforms", "cpu")
 
     defaults = {}
     for d in args.D:
@@ -71,6 +95,9 @@ def main(argv=None):
 
     from .scene import xml as xmllib
 
+    import os
+    if not os.path.exists(args.scene):
+        raise SystemExit(f"scene file not found: {args.scene}")
     scene, cam, cfg, integ_name = xmllib.load_xml(args.scene, defaults=defaults)
     if args.spp:
         cfg = cfg.__class__(**{**cfg.__dict__, "spp": args.spp})
@@ -94,11 +121,24 @@ def main(argv=None):
 
     from .integrators import common
 
-    if args.mesh:
+    if li_fn == "ptracer":
+        from .integrators import ptracer
+
+        img = ptracer.render_jit(scene, cam, cfg)
+    elif li_fn in ("sppm", "ppm", "photonmapper"):
+        from .integrators import sppm as sppmlib
+
+        img, _ = sppmlib.render(scene, cam, cfg, n_passes=max(cfg.spp // 4, 1))
+    elif args.mesh:
         import jax
         from .parallel import render_sharded as rs
 
         dp, sp = (int(x) for x in args.mesh.split(","))
+        if dp * sp > len(jax.devices()):
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {dp * sp} devices but only "
+                f"{len(jax.devices())} are available"
+            )
         mesh = rs.make_mesh(dp * sp, sp=sp)
         img = rs.render_sharded_jit(scene, cam, li_fn, cfg, mesh)
     else:

@@ -35,6 +35,12 @@ class RenderConfig:
     strict_normals: bool = False
     sampler: int = 0            # samplers/qmc.py SAMPLER_* family
     unroll: bool = True         # unroll the bounce loop (static QMC dims)
+    # MIS heuristic switch (the fork's myPath m_MISmode: Uniform/Balance/
+    # Power, src/integrators/myPath/myPath.cpp class fields)
+    mis_mode: int = 0           # 0=power, 1=balance, 2=uniform
+    # approximate NEE visibility via the occupancy grid (fork's
+    # myPath2_OM / LVCBPT_OM, src/integrators/testOM/myOM.h)
+    occupancy_shadows: bool = False
     # integrator-specific knobs
     ao_length: float = -1.0     # <0 = unbounded occlusion rays
     hide_emitters: bool = False
@@ -138,3 +144,18 @@ def power_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
 
 def balance_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
     return jnp.where(pdf_a > 0.0, pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-30), 0.0)
+
+
+def uniform_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
+    """Uniform strategy weight: 1/2 wherever both strategies can produce
+    the sample, else 1 (the fork's Uniform MIS mode, myPath.cpp)."""
+    return jnp.where(pdf_a > 0.0, jnp.where(pdf_b > 0.0, 0.5, 1.0), 0.0)
+
+
+def mis_weight(mode: int, pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
+    """Dispatch on the static cfg.mis_mode (myPath m_MISmode switch)."""
+    if mode == 1:
+        return balance_heuristic(pdf_a, pdf_b)
+    if mode == 2:
+        return uniform_heuristic(pdf_a, pdf_b)
+    return power_heuristic(pdf_a, pdf_b)

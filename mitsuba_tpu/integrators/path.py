@@ -23,7 +23,7 @@ from ..models import bsdf as bsdflib
 from ..models import emitter as emitterlib
 from ..ops import trace
 from ..scene import ir as _ir
-from .common import RenderConfig, power_heuristic
+from .common import RenderConfig, mis_weight, power_heuristic
 
 SENSOR_DIMS = 4
 DIMS_PER_BOUNCE = 8
@@ -63,7 +63,7 @@ def _li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig,
         env_le = emitterlib.env_radiance(scene, d)
         if scene.has_env:
             w_env = jnp.where(
-                prev_delta, 1.0, power_heuristic(prev_pdf, emitterlib.pdf_direct_env(scene, d))
+                prev_delta, 1.0, mis_weight(cfg.mis_mode, prev_pdf, emitterlib.pdf_direct_env(scene, d))
             )
             if cfg.hide_emitters:
                 w_env = jnp.where(t == 0, 0.0, w_env)
@@ -79,7 +79,7 @@ def _li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig,
         cos_l = m.dot(si["wi_world"], ng)   # emitters are one-sided (front = +ng)
         le = jnp.where((hit_emitter & (cos_l > 0.0))[:, None], le, 0.0)
         pdf_em = emitterlib.pdf_direct_area(scene, o, d, its.t, its.prim, cos_l)
-        w_bsdf = jnp.where(prev_delta, 1.0, power_heuristic(prev_pdf, pdf_em))
+        w_bsdf = jnp.where(prev_delta, 1.0, mis_weight(cfg.mis_mode, prev_pdf, pdf_em))
         if cfg.hide_emitters:
             w_bsdf = jnp.where(t == 0, 0.0, w_bsdf)
         L = L + jnp.where(active[:, None], beta * le * w_bsdf[:, None], 0.0)
@@ -107,9 +107,11 @@ def _li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig,
         # Mitsuba's Ray(p, d, Epsilon, dist*(1-ShadowEpsilon)) convention.
         # A normal-offset origin would shorten the flight and make the ray
         # hit the light quad itself inside the guard band (self-shadowing).
-        blocked = trace.any_hit(scene, p, ds.d, ds.dist)
+        blocked = trace.shadow_blocked(scene, p, ds.d, ds.dist,
+                                       cfg.occupancy_shadows)
         rays = rays + jnp.sum(nee_possible.astype(jnp.float32))
-        w_nee = power_heuristic(ds.pdf, pdf_bsdf_nee)
+        # delta lights can't be BSDF-sampled: MIS weight 1 (emitter.h)
+        w_nee = jnp.where(ds.is_delta, 1.0, mis_weight(cfg.mis_mode, ds.pdf, pdf_bsdf_nee))
         contrib = beta * f_nee * ds.radiance * m.safe_div(w_nee, ds.pdf)[:, None]
         L = L + jnp.where((nee_possible & ~blocked)[:, None], contrib, 0.0)
 

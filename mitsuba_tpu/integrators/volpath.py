@@ -78,7 +78,7 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         # raw-origin shadow ray, t in (eps, dist*(1-eps)) — see path.py note
         blocked = trace.any_hit(scene, p, ds.d, ds.dist)
         tr = medlib.transmittance(med, ds.dist)
-        w = power_heuristic(ds.pdf, pdf_fwd)
+        w = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_fwd))
         contrib = beta * f * tr * ds.radiance * m.safe_div(w, ds.pdf)[:, None]
         return jnp.where((ok & ~blocked)[:, None], contrib, 0.0)
 

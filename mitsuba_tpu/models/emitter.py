@@ -28,9 +28,12 @@ class DirectSample(NamedTuple):
 
     d: jax.Array          # (N,3) unit direction ref -> light
     dist: jax.Array       # (N,)
-    radiance: jax.Array   # (N,3) emitted radiance toward ref
-    pdf: jax.Array        # (N,) solid-angle pdf (0 = invalid)
+    radiance: jax.Array   # (N,3) emitted radiance toward ref (delta lights
+    #                       fold I/d^2 etc. in here)
+    pdf: jax.Array        # (N,) solid-angle pdf x selection prob (0=invalid)
     is_env: jax.Array     # (N,) bool
+    is_delta: jax.Array   # (N,) bool — MIS weight must be 1 (point/spot/
+    #                       directional can't be BSDF-sampled, emitter.h)
 
 
 # Probability of choosing the environment vs area lights when both exist.
@@ -39,16 +42,33 @@ class DirectSample(NamedTuple):
 ENV_SELECT_P = 0.5
 
 
+def _group_probs(scene):
+    """Static selection probabilities of the (area, env, delta) groups —
+    present groups split uniformly (the pdf is exact, just not
+    power-weighted; MIS makes the split harmless)."""
+    has_delta = scene.delta_emitters is not None
+    groups = int(scene.has_area) + int(scene.has_env) + int(has_delta)
+    p = 1.0 / max(groups, 1)
+    return (p if scene.has_area else 0.0,
+            p if scene.has_env else 0.0,
+            p if has_delta else 0.0)
+
+
 def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
-    """u3: (N,3) uniforms -> (emitter choice, point-on-triangle)."""
+    """u3: (N,3) uniforms -> (emitter choice, point-on-emitter)."""
     n = ref_p.shape[0]
     em = scene.emitters
-    env_p = ENV_SELECT_P if scene.has_env else 0.0
-    # If the scene has no area emitters at all the CDF table is a dummy;
-    # detect via select_pdf_full being all zeros (static shape, traced value
-    # only matters through pdf=0 lanes).
-    pick_env = u3[..., 0] < env_p if scene.has_env else jnp.zeros((n,), bool)
-    u_sel = jnp.where(pick_env, 0.0, (u3[..., 0] - env_p) / max(1.0 - env_p, 1e-9))
+    pg_area, env_p, p_delta = _group_probs(scene)
+    # slot layout over u3[...,0]: [0, env_p) env | [env_p, env_p+p_delta)
+    # delta | rest area
+    pick_env = (u3[..., 0] < env_p) if scene.has_env else jnp.zeros((n,), bool)
+    pick_delta = (
+        (u3[..., 0] >= env_p) & (u3[..., 0] < env_p + p_delta)
+        if scene.delta_emitters is not None else jnp.zeros((n,), bool)
+    )
+    u_sel = jnp.clip(
+        (u3[..., 0] - env_p - p_delta) / max(pg_area, 1e-9), 0.0, 1.0
+    )
 
     # --- area emitter branch -------------------------------------------
     idx = jnp.clip(
@@ -78,6 +98,49 @@ def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
     pdf_area_sa = jnp.where(front, pdf_area_sa, 0.0)
     rad = jnp.where(front[:, None], rad, 0.0)
 
+    pdf = pdf_area_sa * pg_area
+    is_delta = jnp.zeros((n,), bool)
+
+    # --- delta emitter branch (point/spot/directional) ------------------
+    if scene.delta_emitters is not None:
+        de = scene.delta_emitters
+        from ..scene import ir as _ir
+
+        k = de.kind.shape[0]
+        which = jnp.minimum((u3[..., 1] * k).astype(jnp.int32), k - 1)
+        kind = de.kind[which]
+        lp = de.position[which]
+        ldir = de.direction[which]
+        inten = de.intensity[which]
+        cut = de.cutoff[which]
+
+        to_l = lp - ref_p
+        dist_d = m.length(to_l)
+        d_pos = to_l / jnp.maximum(dist_d, 1e-12)[:, None]
+        inv_d2 = m.safe_div(1.0, dist_d * dist_d)
+        # spot falloff (spot.cpp falloffCurve): 1 inside beamWidth, smooth
+        # to 0 at cutoffAngle
+        cos_spot = m.dot(-d_pos, ldir)
+        fall = jnp.clip(
+            m.safe_div(cos_spot - cut[..., 0], jnp.maximum(cut[..., 1] - cut[..., 0], 1e-6)),
+            0.0, 1.0,
+        )
+        rad_point = inten * inv_d2[:, None]
+        rad_spot = rad_point * fall[:, None]
+        is_dirl = kind == _ir.DELTA_DIRECTIONAL
+        d_delta = jnp.where(is_dirl[:, None], -ldir, d_pos)
+        dist_delta = jnp.where(is_dirl, m.INF * 0.1, dist_d)
+        rad_delta = jnp.where(
+            (kind == _ir.DELTA_SPOT)[:, None], rad_spot,
+            jnp.where(is_dirl[:, None], inten, rad_point),
+        )
+        sel = p_delta / k
+        d = jnp.where(pick_delta[:, None], d_delta, d)
+        dist = jnp.where(pick_delta, dist_delta, dist)
+        rad = jnp.where(pick_delta[:, None], rad_delta, rad)
+        pdf = jnp.where(pick_delta, sel, pdf)
+        is_delta = pick_delta
+
     # --- environment branch --------------------------------------------
     if scene.has_env:
         if scene.envmap is not None:
@@ -93,12 +156,9 @@ def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
         d = jnp.where(pick_env[:, None], d_env, d)
         dist = jnp.where(pick_env, m.INF * 0.1, dist)
         rad = jnp.where(pick_env[:, None], rad_env, rad)
-        pdf = jnp.where(
-            pick_env, pdf_env * env_p, pdf_area_sa * (1.0 - env_p)
-        )
-    else:
-        pdf = pdf_area_sa
-    return DirectSample(d=d, dist=dist, radiance=rad, pdf=pdf, is_env=pick_env)
+        pdf = jnp.where(pick_env, pdf_env * env_p, pdf)
+    return DirectSample(d=d, dist=dist, radiance=rad, pdf=pdf,
+                        is_env=pick_env, is_delta=is_delta)
 
 
 def pdf_direct_area(scene, ref_p, d, dist, prim, cos_l) -> jax.Array:
@@ -111,8 +171,8 @@ def pdf_direct_area(scene, ref_p, d, dist, prim, cos_l) -> jax.Array:
     area = 0.5 * m.length(jnp.cross(e1[prim], e2[prim]))
     p_area = m.safe_div(sel_pdf, area)
     pdf = m.safe_div(p_area * dist * dist, jnp.abs(cos_l))
-    env_p = ENV_SELECT_P if scene.has_env else 0.0
-    return pdf * (1.0 - env_p)
+    pg_area, _, _ = _group_probs(scene)
+    return pdf * pg_area
 
 
 def pdf_direct_env(scene, d: jax.Array) -> jax.Array:
@@ -120,12 +180,13 @@ def pdf_direct_env(scene, d: jax.Array) -> jax.Array:
     (MIS weight for BSDF samples that escape)."""
     if not scene.has_env:
         return jnp.zeros(d.shape[:-1], jnp.float32)
+    _, env_p, _ = _group_probs(scene)
     if scene.envmap is not None:
         from ..scene import envmap as envlib
 
-        return envlib.pdf_direction(scene.envmap, d) * ENV_SELECT_P
+        return envlib.pdf_direction(scene.envmap, d) * env_p
     return jnp.full(
-        d.shape[:-1], warp.square_to_uniform_sphere_pdf() * ENV_SELECT_P
+        d.shape[:-1], warp.square_to_uniform_sphere_pdf() * env_p
     )
 
 

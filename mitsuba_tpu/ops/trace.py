@@ -26,5 +26,14 @@ def any_hit(scene, o: jax.Array, d: jax.Array, tmax) -> jax.Array:
     return _isect.occluded_brute(scene, o, d, tmax)
 
 
+def shadow_blocked(scene, o, d, tmax, use_occupancy: bool = False) -> jax.Array:
+    """Shadow query with the optional occupancy-map approximation (the
+    fork's _OM integrator variants; biased, cheaper on huge scenes)."""
+    if use_occupancy and scene.occupancy is not None:
+        from . import occupancy as occlib
+        return occlib.occluded(scene.occupancy, o, d, tmax)
+    return any_hit(scene, o, d, tmax)
+
+
 surface_interaction = _isect.surface_interaction
 Intersection = _isect.Intersection

@@ -136,6 +136,59 @@ class AreaEmitters:
 
 
 @struct.dataclass
+class DeltaEmitters:
+    """Delta (position/direction) emitter table: point, spot, directional
+    (src/emitters/{point,spot,directional}.cpp). Only reachable through
+    NEE — BSDF samples can never hit a delta light, so their MIS weight is
+    always 1 (the EDeltaPosition/EDeltaDirection semantics, emitter.h).
+
+    kind:      (K,) int32  0=point, 1=spot, 2=directional
+    position:  (K,3)  light position (unused for directional)
+    direction: (K,3)  emission direction (spot/directional)
+    intensity: (K,3)  point/spot: radiant intensity I [W/sr];
+                      directional: irradiance E on a perp. surface
+    cutoff:    (K,2)  spot: (cos(cutoffAngle), cos(beamWidth))
+    """
+
+    kind: jax.Array
+    position: jax.Array
+    direction: jax.Array
+    intensity: jax.Array
+    cutoff: jax.Array
+
+
+DELTA_POINT = 0
+DELTA_SPOT = 1
+DELTA_DIRECTIONAL = 2
+
+
+def build_delta_emitters(records: list) -> DeltaEmitters:
+    """records: dicts with kind/position/direction/intensity/cutoff_deg."""
+    k = len(records)
+    kind = np.zeros((k,), np.int32)
+    pos = np.zeros((k, 3), np.float32)
+    dirn = np.tile(np.asarray([0, 0, 1], np.float32), (k, 1))
+    inten = np.ones((k, 3), np.float32)
+    cut = np.tile(np.asarray([np.cos(np.deg2rad(20.0)),
+                              np.cos(np.deg2rad(15.0))], np.float32), (k, 1))
+    for i, r in enumerate(records):
+        kind[i] = r.get("kind", DELTA_POINT)
+        pos[i] = np.asarray(r.get("position", (0, 0, 0)), np.float32)
+        d = np.asarray(r.get("direction", (0, 0, 1)), np.float32)
+        dirn[i] = d / max(np.linalg.norm(d), 1e-12)
+        inten[i] = np.broadcast_to(np.asarray(r.get("intensity", 1.0), np.float32), (3,))
+        if "cutoff_deg" in r or "beam_deg" in r:
+            co = float(r.get("cutoff_deg", 20.0))
+            bw = float(r.get("beam_deg", co * 0.75))
+            cut[i] = (np.cos(np.deg2rad(co)), np.cos(np.deg2rad(bw)))
+    return DeltaEmitters(
+        kind=jnp.asarray(kind), position=jnp.asarray(pos),
+        direction=jnp.asarray(dirn), intensity=jnp.asarray(inten),
+        cutoff=jnp.asarray(cut),
+    )
+
+
+@struct.dataclass
 class Scene:
     """The whole flattened scene. A pure pytree: differentiable leaves are
     vertices, material params, and emitter radiance."""
@@ -171,10 +224,17 @@ class Scene:
     # Scene-global participating medium (None = vacuum; models/medium.py)
     medium: Any = None
 
+    # Delta emitters (None = none; point/spot/directional)
+    delta_emitters: Any = None
+
+    # Occupancy-map approximate visibility (None = exact; ops/occupancy.py)
+    occupancy: Any = None
+
     # Static metadata
     num_triangles: int = struct.field(pytree_node=False, default=0)
     bsdf_families: tuple = struct.field(pytree_node=False, default=())
     has_env: bool = struct.field(pytree_node=False, default=False)
+    has_area: bool = struct.field(pytree_node=False, default=True)
     aux: Any = struct.field(pytree_node=False, default=None)
 
     # ------------------------------------------------------------------
@@ -347,4 +407,5 @@ def build_scene(
         num_triangles=int(T),
         bsdf_families=families,
         has_env=bool(has_env),
+        has_area=bool(em_tris),
     )

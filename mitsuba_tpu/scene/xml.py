@@ -173,6 +173,7 @@ class _Loader:
         self.tri_mat: list = []
         self.tri_rad: dict = {}
         self.env_radiance = None
+        self.delta_emitters: list = []
         self.cam = None
         self.cfg_kw: dict = {}
         self.width = 256
@@ -472,7 +473,20 @@ def load_xml(path, defaults: dict | None = None):
                 data = imagelib.read_auto(str(path.parent / p["filename"]))
                 ld.env_radiance = None
                 ld.cfg_kw.setdefault("_envmap", data * float(p.get("scale", 1.0)))
-            elif typ in ("point", "spot", "directional", "sun", "sky", "sunsky"):
+            elif typ in ("point", "spot", "directional"):
+                rec = {"kind": {"point": ir.DELTA_POINT, "spot": ir.DELTA_SPOT,
+                                "directional": ir.DELTA_DIRECTIONAL}[typ]}
+                to_world = p.get("toWorld", np.eye(4, dtype=np.float32))
+                rec["position"] = p.get("position", to_world[:3, 3])
+                # spot/directional emit along +z of toWorld by convention
+                rec["direction"] = p.get("direction", to_world[:3, :3] @ np.asarray([0, 0, 1.0]))
+                rec["intensity"] = p.get("intensity", p.get("irradiance", np.ones(3)))
+                if typ == "spot":
+                    co = float(p.get("cutoffAngle", 20.0))
+                    rec["cutoff_deg"] = co
+                    rec["beam_deg"] = float(p.get("beamWidth", co * 0.75))
+                ld.delta_emitters.append(rec)
+            elif typ in ("sun", "sky", "sunsky"):
                 raise ValueError(f"emitter '{typ}' not yet supported by the loader")
         elif tag in ("default", "alias", "include", "null"):
             pass
@@ -495,6 +509,10 @@ def load_xml(path, defaults: dict | None = None):
     if envmap is not None:
         from . import envmap as envlib
         scene = envlib.attach_envmap(scene, envmap)
+    if ld.delta_emitters:
+        scene = scene.replace(
+            delta_emitters=ir.build_delta_emitters(ld.delta_emitters)
+        )
     cfg = integ_common.RenderConfig(**ld.cfg_kw)
     if ld.cam is None:
         ld.cam = sensorlib.make_camera([0, 0, -3], [0, 0, 0], width=ld.width,

@@ -54,13 +54,16 @@ def main():
     rays_per_sample = float(count_rays(scene, cam)) / (npix * count_spp)
 
     # --- timed full render ---------------------------------------------
-    # warmup/compile
-    img = common.render_jit(scene, cam, path.li, cfg)
+    # the regenerative wavefront is the fast primal renderer (identical
+    # estimator/sample set as path.li — validated bit-exact in tests)
+    from mitsuba_tpu.integrators import wavefront
+
+    img = wavefront.render_jit(scene, cam, cfg)
     img.block_until_ready()
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        img = common.render_jit(scene, cam, path.li, cfg)
+        img = wavefront.render_jit(scene, cam, cfg)
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 

@@ -71,17 +71,29 @@ def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
     )
 
     # --- area emitter branch -------------------------------------------
+    from ..ops.gather import fetch_packed
+
     idx = jnp.clip(
         jnp.searchsorted(em.tri_cdf, u_sel, side="left"),
         0,
         em.tri_cdf.shape[0] - 1,
     ).astype(jnp.int32)
-    tri = em.tri_index[idx]
-    sel_pdf = em.tri_pdf[idx]
-    p0, e1, e2 = scene.tri_vertices()
+    p0_all, e1_all, e2_all = scene.tri_vertices()
+    # per-emissive-triangle table (tiny), fetched with one matmul
+    (p0t, e1t, e2t, radt, selt) = fetch_packed(
+        [
+            p0_all[em.tri_index],
+            e1_all[em.tri_index],
+            e2_all[em.tri_index],
+            em.radiance[em.tri_emitter],
+            em.tri_pdf[:, None],
+        ],
+        idx,
+    )
+    sel_pdf = selt[:, 0]
     b = warp.square_to_uniform_triangle(u3[..., 1:3])
-    pos = p0[tri] + e1[tri] * b[..., 0:1] + e2[tri] * b[..., 1:2]
-    ngv = jnp.cross(e1[tri], e2[tri])
+    pos = p0t + e1t * b[..., 0:1] + e2t * b[..., 1:2]
+    ngv = jnp.cross(e1t, e2t)
     two_a = m.length(ngv)
     ng = ngv / two_a[:, None]
     area = 0.5 * two_a
@@ -92,7 +104,7 @@ def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
     # area pdf -> solid angle (emitter.h pdfDirect conversion)
     p_area = m.safe_div(sel_pdf, area)
     pdf_area_sa = m.safe_div(p_area * dist * dist, jnp.abs(cos_l))
-    rad = em.radiance[em.tri_emitter[idx]]
+    rad = radt
     # one-sided area emitters: only the front face emits (area.cpp:113)
     front = cos_l > 1e-6
     pdf_area_sa = jnp.where(front, pdf_area_sa, 0.0)
@@ -165,11 +177,15 @@ def pdf_direct_area(scene, ref_p, d, dist, prim, cos_l) -> jax.Array:
     """Solid-angle pdf that sample_direct would have produced direction `d`
     hitting triangle `prim` at distance `dist` (for MIS on BSDF samples).
     Mirrors Scene::pdfEmitterDirect (scene.h:577)."""
+    from ..ops.gather import fetch_packed
+
     em = scene.emitters
-    sel_pdf = em.select_pdf_full[prim]
     _, e1, e2 = scene.tri_vertices()
-    area = 0.5 * m.length(jnp.cross(e1[prim], e2[prim]))
-    p_area = m.safe_div(sel_pdf, area)
+    area_all = 0.5 * m.length(jnp.cross(e1, e2))   # (T,) — O(T), cheap
+    (selt, areat) = fetch_packed(
+        [em.select_pdf_full[:, None], area_all[:, None]], prim
+    )
+    p_area = m.safe_div(selt[:, 0], areat[:, 0])
     pdf = m.safe_div(p_area * dist * dist, jnp.abs(cos_l))
     pg_area, _, _ = _group_probs(scene)
     return pdf * pg_area

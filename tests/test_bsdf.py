@@ -43,6 +43,12 @@ CASES = {
               "specular": [0.3, 0.3, 0.3], "extra": [30.0, 0, 0, 0]},
     "rough_diffuse": {"type": ir.BSDF_ROUGH_DIFFUSE, "reflectance": [0.7, 0.7, 0.7],
                       "alpha": [0.3, 0.3]},
+    "rough_plastic": {"type": ir.BSDF_ROUGH_PLASTIC, "reflectance": [0.5, 0.3, 0.2],
+                      "alpha": [0.3, 0.3], "extra": [0, 0, 0, ir.MICROFACET_GGX]},
+    "rough_dielectric": {"type": ir.BSDF_ROUGH_DIELECTRIC, "eta": [1.5, 1.5, 1.5],
+                         "alpha": [0.3, 0.3], "reflectance": [1, 1, 1],
+                         "specular": [1, 1, 1],
+                         "extra": [0, 0, 0, ir.MICROFACET_GGX]},
 }
 
 FAMS_ALL = tuple(sorted({r["type"] for r in CASES.values()}))
@@ -146,6 +152,27 @@ def test_delta_bsdfs():
     assert (sides > 0).any() and (sides < 0).any()
     # unpolarized reciprocity sanity: all weights finite, <= ~1.1
     assert np.all(np.isfinite(np.asarray(w)))
+
+
+def test_rough_dielectric_furnace():
+    """Lossless rough glass: reflected + transmitted energy ~= 1."""
+    n = 1 << 16
+    wi = jnp.broadcast_to(WI, (n, 3))
+    sp = make_sp(n, **CASES["rough_dielectric"])
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(20), (n,))
+    u2 = jax.random.uniform(jax.random.PRNGKey(21), (n, 2))
+    wo, w, pdf, _ = bsdflib.sample(sp, wi, u_lobe, u2,
+                                   (ir.BSDF_ROUGH_DIELECTRIC,))
+    total = np.asarray(jnp.mean(jnp.where((pdf > 0)[:, None], w, 0.0), 0))
+    # radiance transport: transmission into the denser medium carries the
+    # 1/eta^2 compression (dielectric.cpp:241 convention), so the expected
+    # mean weight is F + (1-F)/eta^2 ~= 0.47 for eta=1.5 — NOT 1.0
+    fr_avg = 0.08  # rough average Fresnel at this incidence
+    expect = fr_avg + (1 - fr_avg) / 1.5**2
+    assert np.all(np.abs(total - expect) < 0.12), (total, expect)
+    # both sides reached
+    sides = np.asarray(wo[:, 2])[np.asarray(pdf) > 0]
+    assert (sides > 0).any() and (sides < 0).any()
 
 
 def test_dielectric_energy_split():

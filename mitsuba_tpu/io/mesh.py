@@ -25,7 +25,21 @@ class MeshData:
 
 def load_obj(path) -> MeshData:
     """Wavefront OBJ (obj.cpp parity: v/vt/vn, negative indices, polygon
-    fans, usemtl per-face group names)."""
+    fans, usemtl per-face group names).
+
+    Tries the native C++ parser first (native/mesh_loader.cpp; it does not
+    track usemtl groups, so files needing per-face materials parse here)."""
+    try:
+        from .. import native
+
+        nat = native.parse_obj(str(path))
+    except Exception:
+        nat = None
+    if nat is not None and nat["indices"].size:
+        return MeshData(
+            nat["vertices"], nat["indices"],
+            normals=nat["normals"], uvs=nat["uvs"],
+        )
     positions: list = []
     texcoords: list = []
     normals: list = []

@@ -57,10 +57,33 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(vertices: np.ndarray, indices: np.ndarray) -> BVH:
-    """Host-side build. Returns device-ready arrays."""
+    """Host-side build. Returns device-ready arrays.
+
+    Uses the multithreaded C++ builder (native/lbvh.cpp) when available —
+    the analog of the reference's parallel kd-tree TreeBuilder pool — and
+    falls back to this vectorized numpy implementation otherwise; both
+    produce identical arrays (tested)."""
     vertices = np.asarray(vertices, np.float32)
     indices = np.asarray(indices, np.int32)
     n = indices.shape[0]
+
+    try:
+        from .. import native
+
+        nat = native.build_lbvh(vertices, indices, LEAF_SIZE)
+    except Exception:
+        nat = None
+    if nat is not None:
+        amin, amax, miss, order = nat
+        n_leaves = (amin.shape[0] + 1) // 2
+        return BVH(
+            aabb_min=jnp.asarray(amin),
+            aabb_max=jnp.asarray(amax),
+            miss_link=jnp.asarray(miss),
+            tri_order=jnp.asarray(order),
+            n_internal=int(n_leaves - 1),
+            n_leaves=int(n_leaves),
+        )
 
     p0 = vertices[indices[:, 0]]
     p1 = vertices[indices[:, 1]]

@@ -43,7 +43,8 @@ def build_argparser():
 
 
 # Integrators with their own render drivers (not per-ray Li functions).
-SPECIAL_INTEGRATORS = ("ptracer", "sppm", "ppm", "photonmapper")
+SPECIAL_INTEGRATORS = ("ptracer", "sppm", "ppm", "photonmapper",
+                       "pssmlt", "mlt", "erpt")
 
 
 def resolve_integrator(name: str):
@@ -64,6 +65,8 @@ def resolve_integrator(name: str):
         "bdpt": lvcbpt.li,   # cache-based bidirectional stands in for bdpt
         "mypath": path.li,   # fork's instrumented tracer == path + mis_mode
         "mypath2": path.li,
+        "vpl": __import__("mitsuba_tpu.integrators.vpl",
+                          fromlist=["li"]).li,
     }
     if name in SPECIAL_INTEGRATORS:
         return name
@@ -129,6 +132,16 @@ def main(argv=None):
         from .integrators import sppm as sppmlib
 
         img, _ = sppmlib.render(scene, cam, cfg, n_passes=max(cfg.spp // 4, 1))
+    elif li_fn in ("pssmlt", "mlt"):
+        from .integrators import pssmlt as pssmltlib
+
+        img = pssmltlib.render_jit(scene, cam, cfg,
+                                   n_mutations=max(cfg.spp, 64))
+    elif li_fn == "erpt":
+        from .integrators import erpt as erptlib
+
+        img = erptlib.render_jit(scene, cam, cfg,
+                                 chain_length=max(cfg.spp, 64))
     elif args.mesh:
         import jax
         from .parallel import render_sharded as rs

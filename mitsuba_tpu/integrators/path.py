@@ -88,7 +88,8 @@ def _li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig,
         # t + 2 <= max_depth path edges.
         can_continue = t < (cfg.max_depth - 1)
 
-        sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"])
+        sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"],
+                                u_blend=bounce_u(t, 7))
 
         # --- next event estimation (path.cpp:176-263) --------------------
         u_nee = jnp.stack([bounce_u(t, 0), bounce_u(t, 1), bounce_u(t, 2)], -1)

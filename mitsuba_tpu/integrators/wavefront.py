@@ -131,7 +131,8 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         L_path = L_path + jnp.where(hit[:, None], beta * le * w_bsdf[:, None], 0.0)
 
         can_continue = t < (cfg.max_depth - 1)
-        sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"])
+        sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"],
+                                u_blend=bu(7))
 
         # NEE
         u_nee = jnp.stack([bu(0), bu(1), bu(2)], -1)

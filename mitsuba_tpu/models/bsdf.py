@@ -43,14 +43,28 @@ class ShadePoint(NamedTuple):
     extra: jax.Array         # (N,4)
 
 
-def gather_shade_point(scene, mat: jax.Array, uv: jax.Array) -> ShadePoint:
+def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
+                       u_blend=None) -> ShadePoint:
     """Gather material rows for each ray; resolve reflectance textures.
     Routed through the one-hot matmul fetch (ops/gather.py) — the material
-    table is tiny and the MXU beats row gathers by ~20x on TPU."""
+    table is tiny and the MXU beats row gathers by ~20x on TPU.
+
+    Blend/mixture adapters (src/bsdfs/{blendbsdf,mixturebsdf}.cpp) resolve
+    stochastically here: a BLEND row redirects to child A with probability
+    extra[0] (else child B) using `u_blend`; the chosen child's record is
+    then dispatched normally. Unbiased — the selection probability cancels
+    against the mixture weight in expectation."""
     from . import texture as tex
     from ..ops.gather import fetch_packed
 
     mats = scene.materials
+    if int(jnp.ndim(mat)) and ir.BSDF_BLEND in scene.bsdf_families:
+        is_blend = mats.type[mat] == ir.BSDF_BLEND
+        wgt = mats.extra[mat, 0]
+        pick = (u_blend if u_blend is not None
+                else jnp.full(mat.shape, 0.5)) < wgt
+        child = jnp.where(pick, mats.nested[mat, 0], mats.nested[mat, 1])
+        mat = jnp.where(is_blend, jnp.maximum(child, 0), mat)
     (typef, refl, spec, eta, kk, alpha, extra, texf) = fetch_packed(
         [
             mats.type[:, None].astype(jnp.float32),
@@ -469,6 +483,83 @@ def _rough_plastic_sample(sp, wi, u_lobe, u2):
             jnp.where(ok, pdf, 0.0), jnp.zeros_like(ok))
 
 
+def _ward_eval(sp, wi, wo):
+    """src/bsdfs/ward.cpp (balanced variant): anisotropic Gaussian lobe +
+    diffuse base."""
+    ok = _both_sides_pos(wi, wo)
+    ax = jnp.maximum(sp.alpha[..., 0], 1e-4)
+    ay = jnp.maximum(sp.alpha[..., 1], 1e-4)
+    h = wi + wo
+    hn = m.normalize(h)
+    ci, co = m.cos_theta(wi), m.cos_theta(wo)
+    exp_arg = -(
+        (hn[..., 0] / ax) ** 2 + (hn[..., 1] / ay) ** 2
+    ) / jnp.maximum(hn[..., 2] ** 2, 1e-8)
+    spec_f = sp.specular * (
+        jnp.exp(exp_arg)
+        / jnp.maximum(4.0 * jnp.pi * ax * ay * jnp.sqrt(jnp.maximum(ci * co, 1e-8)), 1e-8)
+    )[..., None]
+    diff_f = sp.reflectance * INV_PI
+    f_cos = (diff_f + spec_f) * jnp.maximum(co, 0.0)[..., None]
+    # pdf: mix of cosine + ward half-vector sampling
+    kd = jnp.mean(sp.reflectance, -1)
+    ks = jnp.mean(sp.specular, -1)
+    w_spec = m.safe_div(ks, kd + ks)
+    # half-vector pdf: p(h) = exp/(pi ax ay cos^3), jacobian 1/(4 wo.h)
+    p_h = m.safe_div(jnp.exp(exp_arg),
+                     jnp.pi * ax * ay * jnp.maximum(hn[..., 2] ** 3, 1e-8))
+    p_spec = m.safe_div(p_h, 4.0 * jnp.abs(m.dot(wo, hn)))
+    pdf = w_spec * p_spec + (1.0 - w_spec) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok[..., None], f_cos, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _ward_sample(sp, wi, u_lobe, u2):
+    ax = jnp.maximum(sp.alpha[..., 0], 1e-4)
+    ay = jnp.maximum(sp.alpha[..., 1], 1e-4)
+    kd = jnp.mean(sp.reflectance, -1)
+    ks = jnp.mean(sp.specular, -1)
+    w_spec = m.safe_div(ks, kd + ks)
+    pick_spec = u_lobe <= w_spec
+    # sample anisotropic half vector (ward.cpp:sample)
+    phi = jnp.arctan2(ay * jnp.sin(2 * jnp.pi * u2[..., 1]),
+                      ax * jnp.cos(2 * jnp.pi * u2[..., 1]))
+    cp, sp_ = jnp.cos(phi), jnp.sin(phi)
+    t2 = -jnp.log(jnp.maximum(u2[..., 0], 1e-20)) / (
+        (cp / ax) ** 2 + (sp_ / ay) ** 2
+    )
+    ct = 1.0 / jnp.sqrt(1.0 + t2)
+    st = m.safe_sqrt(1.0 - ct * ct)
+    hv = jnp.stack([st * cp, st * sp_, ct], -1)
+    wo_s = 2.0 * m.dot(wi, hv, keepdims=True) * hv - wi
+    wo_d = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+    f_cos, pdf = _ward_eval(sp, wi, wo)
+    weight = jnp.clip(m.safe_div(f_cos, pdf[..., None]), 0.0, 8.0)
+    ok = (pdf > 1e-10) & (m.cos_theta(wo) > 0.0) & (m.cos_theta(wi) > 0.0)
+    return (wo, jnp.where(ok[..., None], weight, 0.0),
+            jnp.where(ok, pdf, 0.0), jnp.zeros_like(ok))
+
+
+def _mask_sample(sp, wi, u_lobe, u2):
+    """src/bsdfs/mask.cpp: opacity in extra[0]; with prob (1-opacity) pass
+    straight through (null), else behave as diffuse with `reflectance`.
+    (General nested BSDFs compose via models/bsdf.py blend machinery.)"""
+    opacity = jnp.clip(sp.extra[..., 0], 0.0, 1.0)
+    pass_through = u_lobe > opacity
+    # rescale u_lobe for the inner lobe decision
+    wo_d, w_d, pdf_d, _ = _diffuse_sample(sp, wi, u_lobe / jnp.maximum(opacity, 1e-6), u2)
+    wo = jnp.where(pass_through[..., None], -wi, wo_d)
+    weight = jnp.where(pass_through[..., None], jnp.ones_like(w_d), w_d)
+    pdf = jnp.where(pass_through, 1.0 - opacity, opacity * pdf_d)
+    return wo, weight, pdf, pass_through
+
+
+def _mask_eval(sp, wi, wo):
+    opacity = jnp.clip(sp.extra[..., 0], 0.0, 1.0)
+    f, pdf = _diffuse_eval(sp, wi, wo)
+    return f * opacity[..., None], pdf * opacity
+
+
 def _null_sample(sp, wi, u_lobe, u2):
     """src/bsdfs/null.cpp — pass-through (for mask/medium boundaries)."""
     wo = -wi
@@ -490,6 +581,8 @@ _EVAL = {
     ir.BSDF_PHONG: _phong_eval,
     ir.BSDF_ROUGH_DIFFUSE: _rough_diffuse_eval,
     ir.BSDF_DIFFUSE_TRANSMITTER: _diffuse_transmitter_eval,
+    ir.BSDF_WARD: _ward_eval,
+    ir.BSDF_MASK: _mask_eval,
     ir.BSDF_CONDUCTOR: _zero_eval,
     ir.BSDF_DIELECTRIC: _zero_eval,
     ir.BSDF_THIN_DIELECTRIC: _zero_eval,
@@ -505,6 +598,8 @@ _SAMPLE = {
     ir.BSDF_PHONG: _phong_sample,
     ir.BSDF_ROUGH_DIFFUSE: _rough_diffuse_sample,
     ir.BSDF_DIFFUSE_TRANSMITTER: _diffuse_transmitter_sample,
+    ir.BSDF_WARD: _ward_sample,
+    ir.BSDF_MASK: _mask_sample,
     ir.BSDF_CONDUCTOR: _conductor_sample,
     ir.BSDF_DIELECTRIC: _dielectric_sample,
     ir.BSDF_THIN_DIELECTRIC: _thin_dielectric_sample,
@@ -541,6 +636,8 @@ def eval_pdf(sp: ShadePoint, wi: jax.Array, wo: jax.Array, families: tuple):
     f = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
     pdf = jnp.zeros(wi.shape[:-1], wi.dtype)
     for fam in families:
+        if fam == ir.BSDF_BLEND:
+            continue  # adapter: resolved to a child in gather_shade_point
         fe, fp = _EVAL[fam](sp, wi, wo)
         mask = sp.type == fam
         f = jnp.where(mask[..., None], fe, f)
@@ -558,6 +655,8 @@ def sample(sp: ShadePoint, wi: jax.Array, u_lobe: jax.Array, u2: jax.Array,
     pdf = jnp.zeros(wi.shape[:-1], wi.dtype)
     is_delta = jnp.zeros(wi.shape[:-1], bool)
     for fam in families:
+        if fam == ir.BSDF_BLEND:
+            continue  # adapter: resolved to a child in gather_shade_point
         fwo, fw, fp, fd = _SAMPLE[fam](sp, wi_f, u_lobe, u2)
         mask = sp.type == fam
         wo = jnp.where(mask[..., None], fwo, wo)

@@ -28,6 +28,7 @@ SAMPLER_INDEPENDENT = 0
 SAMPLER_STRATIFIED = 1
 SAMPLER_HALTON = 2
 SAMPLER_LD = 3
+SAMPLER_HAMMERSLEY = 4
 
 _U32 = jnp.uint32
 
@@ -132,5 +133,17 @@ def sample_dim(kind: int, seed, pixel, sample, dim, spp: int = 0) -> jax.Array:
         if dim % 2 == 0:
             return van_der_corput(sample, scramble)
         return sobol2(sample, scramble)
+
+    if kind == SAMPLER_HAMMERSLEY:
+        # hammersley.cpp: dim 0 is the equispaced i/N axis, the rest follow
+        # the Halton construction (with per-pixel CP rotation).
+        spp = max(spp, 1)
+        rot = u32_to_uniform(hash_u32(seed, pixel, jnp.uint32(0x9E37), dim))
+        if dim == 0:
+            v = (sample.astype(jnp.float32) % spp) / spp
+        else:
+            d = int(dim - 1) % len(_PRIMES)
+            v = radical_inverse(jnp.uint32(_PRIMES[d]), sample)
+        return jnp.mod(v + rot, 1.0)
 
     raise ValueError(f"unknown sampler kind {kind}")

@@ -268,6 +268,27 @@ class _Loader:
                        extra=[float(p.get("exponent", 30.0)), 0, 0, 0])
         elif typ == "difftrans":
             rec.update(type=ir.BSDF_DIFFUSE_TRANSMITTER, reflectance=refl("transmittance"))
+        elif typ == "ward":
+            rec.update(type=ir.BSDF_WARD,
+                       reflectance=refl("diffuseReflectance"),
+                       specular=p.get("specularReflectance",
+                                      np.asarray([0.2] * 3, np.float32)),
+                       alpha=[float(p.get("alphaU", p.get("alpha", 0.1))),
+                              float(p.get("alphaV", p.get("alpha", 0.1)))])
+        elif typ in ("blendbsdf", "mixturebsdf"):
+            inner = [c for c in node if c.tag == "bsdf"]
+            refs = [c for c in node if c.tag == "ref" and "name" not in c.attrib]
+            kids = [self.convert_bsdf(c) for c in inner]
+            kids += [self.mat_ids[c.attrib["id"]] for c in refs]
+            if len(kids) < 2:
+                raise ValueError(f"{typ} needs two nested bsdfs")
+            if typ == "blendbsdf":
+                wgt = float(p.get("weight", 0.5))
+            else:
+                ws = [float(x) for x in str(p.get("weights", "0.5, 0.5")).replace(",", " ").split()]
+                wgt = ws[0] / max(sum(ws[:2]), 1e-9)
+            rec.update(type=ir.BSDF_BLEND, nested=(kids[0], kids[1]),
+                       extra=[wgt, 0, 0, 0])
         elif typ == "null":
             rec.update(type=ir.BSDF_NULL)
         elif typ == "twosided":

@@ -50,7 +50,7 @@ SPECIAL_INTEGRATORS = ("ptracer", "sppm", "ppm", "photonmapper",
 def resolve_integrator(name: str):
     from .integrators import aov, direct, path, volpath
 
-    from .integrators import lvcbpt
+    from .integrators import bdpt, lvcbpt
 
     table = {
         "path": path.li,
@@ -62,7 +62,9 @@ def resolve_integrator(name: str):
         "field": aov.li_normal,
         "ao": aov.li_ao,
         "lvcbpt": lvcbpt.li,
-        "bdpt": lvcbpt.li,   # cache-based bidirectional stands in for bdpt
+        "bdpt": bdpt.li,
+        "mybdpt": bdpt.li,
+        "mybdpt2": bdpt.li,
         "mypath": path.li,   # fork's instrumented tracer == path + mis_mode
         "mypath2": path.li,
         "vpl": __import__("mitsuba_tpu.integrators.vpl",

@@ -114,6 +114,33 @@ def cylinder(p0=(0, 0, 0), p1=(0, 0, 1), radius=1.0, segments=64):
             np.asarray(normals, np.float32), np.asarray(uvs, np.float32))
 
 
+def heightfield(height: np.ndarray, hscale: float = 1.0):
+    """Grid mesh over [-1,1]^2 displaced by `height` (src/shapes/
+    heightfield.cpp). height: (H, W) array; z = height * hscale."""
+    hh, ww = height.shape
+    xs = np.linspace(-1, 1, ww, dtype=np.float32)
+    ys = np.linspace(-1, 1, hh, dtype=np.float32)
+    X, Y = np.meshgrid(xs, ys)
+    verts = np.stack([X, Y, height.astype(np.float32) * hscale], -1).reshape(-1, 3)
+    uvs = np.stack([(X + 1) / 2, (Y + 1) / 2], -1).reshape(-1, 2).astype(np.float32)
+    faces = []
+    for i in range(hh - 1):
+        for j in range(ww - 1):
+            a = i * ww + j
+            b = a + 1
+            c = a + ww
+            d = c + 1
+            faces += [[a, c, b], [b, c, d]]
+    faces = np.asarray(faces, np.int32)
+    # smooth normals via central differences of the height grid
+    gz = np.gradient(height.astype(np.float32) * hscale)
+    dzdx = gz[1] / (xs[1] - xs[0])
+    dzdy = gz[0] / (ys[1] - ys[0])
+    n = np.stack([-dzdx, -dzdy, np.ones_like(dzdx)], -1).reshape(-1, 3)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return verts, faces, n.astype(np.float32), uvs
+
+
 def apply_transform(mat4: np.ndarray, verts, normals=None):
     """Apply a 4x4 to-world transform; normals use the inverse transpose."""
     mat4 = np.asarray(mat4, np.float32)

@@ -174,6 +174,7 @@ class _Loader:
         self.tri_rad: dict = {}
         self.env_radiance = None
         self.delta_emitters: list = []
+        self.shape_groups: dict = {}   # id -> list of raw (v,f,n,uv,mat,rad)
         self.cam = None
         self.cfg_kw: dict = {}
         self.width = 256
@@ -337,33 +338,55 @@ class _Loader:
             self.tris.append([f[0] + base, f[1] + base, f[2] + base])
             self.tri_mat.append(mat_id)
 
-    def convert_shape(self, node):
+    def convert_shape(self, node, collect_to=None):
+        """collect_to: when set (shapegroup definition), meshes are stored
+        in that list instead of the scene (shapegroup.cpp semantics)."""
         typ = node.attrib["type"]
         p = _props(node, self.subst)
         to_world = p.get("toWorld", np.eye(4, dtype=np.float32))
 
-        # material: nested bsdf, ref, or default diffuse
-        mat_id = None
-        radiance = None
-        for child in node:
-            if child.tag == "bsdf":
-                mat_id = self.convert_bsdf(child)
-            elif child.tag == "ref":
-                rid = child.attrib["id"]
-                if rid in self.mat_ids:
-                    mat_id = self.mat_ids[rid]
-            elif child.tag == "emitter":
-                ep = _props(child, self.subst)
-                if child.attrib["type"] == "area":
-                    radiance = np.asarray(ep.get("radiance", [1, 1, 1]), np.float32)
-        if mat_id is None:
-            if radiance is not None:
-                self.materials.append({"type": ir.BSDF_DIFFUSE,
-                                       "reflectance": [0, 0, 0]})
+        if typ == "shapegroup":
+            group: list = []
+            for child in node:
+                if child.tag == "shape":
+                    self.convert_shape(child, collect_to=group)
+            self.shape_groups[node.attrib.get("id", "")] = group
+            return
+        if typ == "instance":
+            refs = [c for c in node if c.tag == "ref"]
+            if not refs or refs[0].attrib["id"] not in self.shape_groups:
+                raise ValueError("instance requires a <ref> to a shapegroup")
+            # flattened IR: instancing = re-emission of the group's meshes
+            # under this instance's transform (trades memory for the
+            # zero-indirection wavefront; shapegroup/instance.cpp keeps a
+            # kd-tree per group instead)
+            for (v, f, n, uv, mat_id, radiance) in self.shape_groups[refs[0].attrib["id"]]:
+                v2, n2 = shapelib.apply_transform(to_world, v, n)
+                f2 = f
+                if np.linalg.det(np.asarray(to_world)[:3, :3]) < 0:
+                    f2 = np.asarray(f)[:, ::-1]
+                self.add_mesh(v2, f2, mat_id, normals=n2, uvs=uv,
+                              radiance=radiance)
+            return
+        if typ == "heightfield":
+            from ..io import image as imagelib
+            data = imagelib.read_auto(str(self.base / p["filename"])) \
+                if "filename" in p else None
+            hscale = float(p.get("scale", 1.0))
+            res = int(p.get("resolution", 64))
+            if data is None:
+                hgt = np.zeros((res, res), np.float32)
             else:
-                self.materials.append({"type": ir.BSDF_DIFFUSE,
-                                       "reflectance": [0.5, 0.5, 0.5]})
-            mat_id = len(self.materials) - 1
+                hgt = np.asarray(data, np.float32)
+                if hgt.ndim == 3:
+                    hgt = hgt.mean(-1)
+            v, f, n, uv = shapelib.heightfield(hgt, hscale)
+            mat_id, _ = self._shape_material(node)
+            v2, n2 = shapelib.apply_transform(to_world, v, n)
+            self.add_mesh(v2, f, mat_id, normals=n2, uvs=uv)
+            return
+
+        mat_id, radiance = self._shape_material(node)
 
         if typ == "rectangle":
             v, f, n, uv = shapelib.rectangle()
@@ -398,8 +421,33 @@ class _Loader:
         if np.linalg.det(np.asarray(to_world)[:3, :3]) < 0:
             f = np.asarray(f)[:, ::-1]  # restore winding under reflections
         has_n = np.abs(np.asarray(n)).sum() > 0
-        self.add_mesh(v, f, mat_id, normals=n2 if has_n else None, uvs=uv,
-                      radiance=radiance)
+        n_out = n2 if has_n else None
+        if collect_to is not None:
+            collect_to.append((v, np.asarray(f), n_out, uv, mat_id, radiance))
+        else:
+            self.add_mesh(v, f, mat_id, normals=n_out, uvs=uv,
+                          radiance=radiance)
+
+    def _shape_material(self, node, default=None):
+        """Nested bsdf / ref / default diffuse + optional area emitter."""
+        mat_id = default
+        radiance = None
+        for child in node:
+            if child.tag == "bsdf":
+                mat_id = self.convert_bsdf(child)
+            elif child.tag == "ref":
+                rid = child.attrib["id"]
+                if rid in self.mat_ids:
+                    mat_id = self.mat_ids[rid]
+            elif child.tag == "emitter":
+                ep = _props(child, self.subst)
+                if child.attrib["type"] == "area":
+                    radiance = np.asarray(ep.get("radiance", [1, 1, 1]), np.float32)
+        if mat_id is None:
+            refl = [0, 0, 0] if radiance is not None else [0.5, 0.5, 0.5]
+            self.materials.append({"type": ir.BSDF_DIFFUSE, "reflectance": refl})
+            mat_id = len(self.materials) - 1
+        return mat_id, radiance
 
     # --- top level -----------------------------------------------------
     def convert_sensor(self, node):

@@ -93,10 +93,10 @@ def read_exr(path) -> np.ndarray:
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][1][0]
-    if comp not in (0, 2, 3):
+    if comp not in (0, 2, 3, 4):
         raise NotImplementedError(
-            f"EXR compression {comp} (PIZ/PXR24/B44/DWA) not supported yet; "
-            "re-save with ZIP or NONE"
+            f"EXR compression {comp} (PXR24/B44/DWA) not supported; "
+            "re-save with PIZ, ZIP or NONE"
         )
     # parse channel list
     chan_raw = attrs["channels"][1]
@@ -122,6 +122,13 @@ def read_exr(path) -> np.ndarray:
         data = buf[off + 8 : off + 8 + size]
         rows = min(lines_per_block, h - (y - y0))
         raw_size = sum(w * rows * (2 if p == _PIXELTYPE_HALF else 4) for _, p in channels)
+        if comp == 4:  # PIZ
+            from . import exr_piz
+
+            planes = exr_piz.piz_uncompress(data, channels, w, rows)
+            for cname, _ in channels:
+                out[cname][y - y0:y - y0 + rows] = planes[cname]
+            continue
         if comp in (2, 3):  # ZIPS/ZIP
             data = zlib.decompress(data)
             # EXR zip predictor: delta-decode then de-interleave

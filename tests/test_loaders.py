@@ -54,13 +54,18 @@ def test_ply_bunny():
 
 @pytest.mark.skipif(not os.path.exists(f"{REF_TESTS}/envmap.exr"),
                     reason="reference fixture unavailable")
-def test_read_reference_exr():
-    try:
-        img = imagelib.read_auto(f"{REF_TESTS}/envmap.exr")
-    except NotImplementedError:
-        pytest.skip("reference envmap.exr uses PIZ compression (todo)")
-    assert img.ndim == 3 and img.shape[2] == 3
-    assert np.isfinite(img).all() and img.max() > 0
+def test_read_reference_exr_piz():
+    """The reference's envmap.exr is PIZ-compressed — exercises the
+    wavelet+Huffman decoder (io/exr_piz.py)."""
+    img = imagelib.read_auto(f"{REF_TESTS}/envmap.exr")
+    assert img.shape == (256, 512, 3)
+    assert np.isfinite(img).all() and 0 <= img.min() and img.max() > 5
+    # no 32-scanline block artifacts: boundary row-diffs comparable to
+    # interior row-diffs
+    d = np.abs(np.diff(img.mean(-1), axis=0)).mean(1)
+    boundary = d[31::32].mean()
+    interior = np.delete(d, np.s_[31::32], 0).mean()
+    assert boundary < interior * 2.0, (boundary, interior)
 
 
 def test_exr_roundtrip(tmp_path):

@@ -1,0 +1,124 @@
+"""Dipole subsurface scattering (Jensen et al. 2001).
+
+TPU-native analog of src/subsurface/dipole.cpp: the reference caches
+irradiance at surface sample points in an octree (irrtree) and gathers the
+dipole diffusion kernel Rd(r) over it. Here the irradiance cache is a flat
+batch of area-weighted surface points whose irradiance is computed in one
+wavefront NEE pass, and the render-time gather is a dense (pixels x points)
+one-hot-free contraction for small caches — dense matmul-style sums are
+faster on TPU than spatial culling until the cache is large, at which point
+the hash grid (ops/hashgrid.py) takes over.
+
+Dipole BSSRDF (classic better-dipole-free formulation):
+  sigma_tr = sqrt(3 sigma_a sigma_t')
+  z_r = 1/sigma_t';  z_v = z_r (1 + 4/3 A)
+  Rd(r) = alpha'/(4 pi) * [ z_r (1+s_r d_r) e^{-s_r d_r} / d_r^3
+                          + z_v (1+s_r d_v) e^{-s_r d_v} / d_v^3 ]
+with d_r = sqrt(r^2 + z_r^2), d_v = sqrt(r^2 + z_v^2), s_r = sigma_tr.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as m
+from ..core.rng import uniform
+from ..models import emitter as emitterlib
+from ..ops import trace
+
+
+class DipoleParams(NamedTuple):
+    sigma_s: jax.Array   # (3,) scattering
+    sigma_a: jax.Array   # (3,) absorption
+    g: float             # phase asymmetry (reduces sigma_s)
+    eta: float           # relative IOR
+
+
+def _dipole_constants(p: DipoleParams):
+    sigma_sp = p.sigma_s * (1.0 - p.g)
+    sigma_tp = sigma_sp + p.sigma_a
+    alpha_p = sigma_sp / jnp.maximum(sigma_tp, 1e-9)
+    sigma_tr = jnp.sqrt(3.0 * p.sigma_a * sigma_tp)
+    # internal diffuse Fresnel reflectance (dipole.cpp Fdr fit)
+    eta = p.eta
+    fdr = -1.440 / (eta * eta) + 0.710 / eta + 0.668 + 0.0636 * eta
+    a_coef = (1.0 + fdr) / (1.0 - fdr)
+    z_r = 1.0 / jnp.maximum(sigma_tp, 1e-9)
+    z_v = z_r * (1.0 + 4.0 / 3.0 * a_coef)
+    return alpha_p, sigma_tr, z_r, z_v
+
+
+def rd_profile(p: DipoleParams, r: jax.Array) -> jax.Array:
+    """Diffusion profile Rd(r): (N,) radii -> (N, 3)."""
+    alpha_p, sigma_tr, z_r, z_v = _dipole_constants(p)
+    r2 = (r * r)[:, None]
+    d_r = jnp.sqrt(r2 + z_r[None, :] ** 2)
+    d_v = jnp.sqrt(r2 + z_v[None, :] ** 2)
+    s = sigma_tr[None, :]
+    c1 = z_r[None, :] * (1.0 + s * d_r) * jnp.exp(-s * d_r) / jnp.maximum(d_r ** 3, 1e-12)
+    c2 = z_v[None, :] * (1.0 + s * d_v) * jnp.exp(-s * d_v) / jnp.maximum(d_v ** 3, 1e-12)
+    return alpha_p[None, :] / (4.0 * jnp.pi) * (c1 + c2)
+
+
+def sample_surface_points(scene, tri_mask: np.ndarray, n_points: int,
+                          seed: int = 0):
+    """Area-weighted sample points on the masked triangles (host-side;
+    the analog of dipole.cpp's blue-noise sample placement, simplified to
+    stratified area sampling)."""
+    rs = np.random.RandomState(seed)
+    verts = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)[tri_mask]
+    p0 = verts[idx[:, 0]]
+    e1 = verts[idx[:, 1]] - p0
+    e2 = verts[idx[:, 2]] - p0
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    probs = areas / areas.sum()
+    tri = rs.choice(len(idx), size=n_points, p=probs)
+    u = rs.rand(n_points, 2).astype(np.float32)
+    su = np.sqrt(u[:, 0])
+    b1 = (1 - su)
+    b2 = u[:, 1] * su
+    pts = p0[tri] + e1[tri] * b1[:, None] + e2[tri] * b2[:, None]
+    n = np.cross(e1[tri], e2[tri])
+    n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    area_per_point = areas.sum() / n_points
+    return (jnp.asarray(pts.astype(np.float32)), jnp.asarray(n.astype(np.float32)),
+            float(area_per_point))
+
+
+def compute_irradiance(scene, pts, nrm, cfg, n_samples: int = 8):
+    """Batched NEE irradiance estimate at the cache points (the irrtree
+    fill pass, dipole.cpp preprocess)."""
+    npts = pts.shape[0]
+    seed = jnp.uint32(cfg.seed ^ 0xD1901E)
+    E = jnp.zeros((npts, 3))
+    pid = jnp.arange(npts, dtype=jnp.uint32)
+    for k in range(n_samples):
+        u3 = jnp.stack([uniform(seed, pid, jnp.uint32(k), j) for j in range(3)], -1)
+        ds = emitterlib.sample_direct(scene, pts, u3)
+        cos_i = jnp.maximum(m.dot(ds.d, nrm), 0.0)
+        blocked = trace.any_hit(scene, pts, ds.d, ds.dist)
+        ok = (ds.pdf > 0) & ~blocked & (cos_i > 0)
+        E = E + jnp.where(ok[:, None],
+                          ds.radiance * (cos_i / jnp.maximum(ds.pdf, 1e-12))[:, None],
+                          0.0)
+    return E / n_samples
+
+
+def sss_exitant_radiance(params: DipoleParams, cache_pts, cache_E,
+                         area_per_point, query_p, query_ns, wo_world):
+    """Outgoing radiance at query points from the dipole gather:
+    Lo = (Ft(wo)/pi) * sum_i Rd(|x - x_i|) E_i A_i  (dipole.cpp Lo)."""
+    eta = params.eta
+    ft_o, _, _, _ = m.fresnel_dielectric(
+        jnp.maximum(m.dot(wo_world, query_ns), 0.0), jnp.asarray(eta))
+    # dense gather: (Q, P) distances -> profile-weighted sum
+    dvec = query_p[:, None, :] - cache_pts[None, :, :]
+    r = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
+    q, p = r.shape
+    rd = rd_profile(params, r.reshape(-1)).reshape(q, p, 3)
+    mo = (rd * cache_E[None, :, :]).sum(1) * area_per_point
+    return (1.0 - ft_o)[:, None] / jnp.pi * mo

@@ -1,0 +1,59 @@
+"""Dipole subsurface tests: profile normalization + a translucent-slab
+render sanity (dipole.cpp analog behavior)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_tpu.models import subsurface as sss
+from mitsuba_tpu.scene import builtin, ir
+
+
+def params(albedo=0.8, sigma_t=10.0):
+    sigma_s = jnp.full((3,), albedo * sigma_t)
+    sigma_a = jnp.full((3,), (1 - albedo) * sigma_t)
+    return sss.DipoleParams(sigma_s=sigma_s, sigma_a=sigma_a, g=0.0, eta=1.3)
+
+
+def test_rd_profile_properties():
+    p = params()
+    r = jnp.linspace(1e-3, 2.0, 512)
+    rd = np.asarray(sss.rd_profile(p, r))
+    assert np.isfinite(rd).all() and (rd >= 0).all()
+    # monotonically decreasing in r
+    assert np.all(np.diff(rd[:, 0]) <= 1e-6)
+    # total diffuse reflectance = 2 pi int Rd(r) r dr, bounded by 1
+    dr = float(r[1] - r[0])
+    total = 2 * np.pi * (rd * np.asarray(r)[:, None] * dr).sum(0)
+    assert np.all(total < 1.0), total
+    assert np.all(total > 0.1), total   # highly scattering -> bright
+
+
+def test_higher_albedo_brighter():
+    r = jnp.linspace(1e-3, 1.0, 256)
+    dr = float(r[1] - r[0])
+
+    def total(albedo):
+        rd = np.asarray(sss.rd_profile(params(albedo), r))
+        return (2 * np.pi * rd * np.asarray(r)[:, None] * dr).sum()
+
+    assert total(0.9) > total(0.5) > total(0.2)
+
+
+def test_cache_and_gather():
+    scene, cam = builtin.cornell_box()
+    # mark the short box's triangles as the SSS surface
+    mask = np.zeros(scene.num_triangles, bool)
+    mask[10:20] = True
+    pts, nrm, area = sss.sample_surface_points(scene, mask, 256)
+    assert pts.shape == (256, 3) and area > 0
+    from mitsuba_tpu.integrators.common import RenderConfig
+
+    E = sss.compute_irradiance(scene, pts, nrm, RenderConfig(seed=1), n_samples=4)
+    assert np.isfinite(np.asarray(E)).all() and float(E.max()) > 0
+
+    p = params(sigma_t=30.0)
+    q = pts[:32]
+    qn = nrm[:32]
+    wo = qn  # exitant along the normal
+    lo = np.asarray(sss.sss_exitant_radiance(p, pts, E, area, q, qn, wo))
+    assert np.isfinite(lo).all() and (lo >= 0).all()
+    assert lo.max() > 0

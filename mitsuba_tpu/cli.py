@@ -44,7 +44,7 @@ def build_argparser():
 
 # Integrators with their own render drivers (not per-ray Li functions).
 SPECIAL_INTEGRATORS = ("ptracer", "sppm", "ppm", "photonmapper",
-                       "pssmlt", "mlt", "erpt")
+                       "pssmlt", "mlt", "erpt", "multichannel")
 
 
 def resolve_integrator(name: str):
@@ -144,6 +144,23 @@ def main(argv=None):
 
         img = erptlib.render_jit(scene, cam, cfg,
                                  chain_length=max(cfg.spp, 64))
+    elif li_fn == "multichannel":
+        # one image per channel: out.exr, out_depth.exr, out_normal.exr, ...
+        from .integrators import multichannel as mclib
+        import numpy as np
+        from .io import image as imagelib
+
+        outs = mclib.render(scene, cam, cfg)
+        stem = (args.output or (args.scene.rsplit(".", 1)[0] + ".exr"))
+        base, ext = stem.rsplit(".", 1)
+        for ch, arr in outs.items():
+            p = stem if ch == "radiance" else f"{base}_{ch}.{ext}"
+            imagelib.write_image(p, np.asarray(arr))
+            if not args.quiet:
+                print(f"[mitsuba_tpu] wrote {p}", file=sys.stderr)
+        print(f"[mitsuba_tpu] done in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        return 0
     elif args.mesh:
         import jax
         from .parallel import render_sharded as rs

@@ -39,16 +39,6 @@ def _area_pdf(pdf_sa, from_p, to_p, to_ng):
     return pdf_sa * jnp.abs(m.dot(dirn, to_ng)) / d2
 
 
-def _dir_pdf(scene, families, vtx, k, wi_world, wo_world):
-    """BSDF solid-angle pdf at stored vertex k for scattering
-    wi_world -> wo_world."""
-    sp = bsdflib.gather_shade_point(scene, vtx["mat"][k], vtx["uv"][k])
-    wi_l = m.to_local(vtx["ns"][k], wi_world)
-    wo_l = m.to_local(vtx["ns"][k], wo_world)
-    _, pdf = bsdflib.eval_pdf(sp, wi_l, wo_l, families)
-    return pdf
-
-
 def _walk(scene, families, stream, dim0, o, d, beta0, pdf_sa0, prev_ng0,
           depth):
     """Unrolled random walk; returns dict of per-depth lists.

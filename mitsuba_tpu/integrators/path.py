@@ -18,12 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from ..core import math as m
-from ..core.rng import SampleStream, uniform
+from ..core.rng import SampleStream
 from ..models import bsdf as bsdflib
 from ..models import emitter as emitterlib
 from ..ops import trace
 from ..scene import ir as _ir
-from .common import RenderConfig, mis_weight, power_heuristic
+from .common import RenderConfig, mis_weight
 
 SENSOR_DIMS = 4
 DIMS_PER_BOUNCE = 8

@@ -31,7 +31,10 @@ def _slab_test(bmin, bmax, o, inv_d, t_best):
 
 def _leaf_tris(scene, bvh: BVH, leaf_id):
     """Gather the LEAF_SIZE triangles of each ray's leaf: (N, LEAF, 3) x3.
-    Padded slots (-1) get degenerate far-away triangles."""
+    Padded slots (-1) get degenerate far-away triangles. leaf_id is clamped
+    defensively: internal-node lanes pass a negative id whose result is
+    masked out, but out-of-bounds gathers can fault some TPU runtimes."""
+    leaf_id = jnp.clip(leaf_id, 0, bvh.n_leaves - 1)
     base = leaf_id * LEAF_SIZE
     tidx = bvh.tri_order[base[:, None] + jnp.arange(LEAF_SIZE)[None, :]]  # (N,L)
     pad = tidx < 0
@@ -64,61 +67,78 @@ def _tri_hits(o, d, p0, e1, e2, eps=SHADOW_EPS):
 
 
 def closest_hit(scene, bvh: BVH, o, d, tmax=None) -> Intersection:
+    """Closest hit with the same bit-packed (t, lane) min-reduce as the
+    brute path (ops/intersect.py): no argmin and no per-lane fancy
+    indexing in the loop body — both are slow on TPU (and the argmin
+    variant triggered device faults on the tunneled runtime). Barycentrics
+    are recomputed by surface_interaction from the winning triangle."""
+    from .intersect import LANE_MASK, MISS
+
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), m.INF)
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
     n_int = bvh.n_internal
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LEAF_SIZE), 1)
+    miss_key = (jax.lax.bitcast_convert_type(MISS, jnp.int32)
+                | jnp.int32(LANE_MASK))
 
     def cond(state):
         node = state[0]
         return jnp.any(node >= 0)
 
     def body(state):
-        node, best_t, best_prim, best_b1, best_b2 = state
+        node, best_key, best_base = state
         live = node >= 0
         nsafe = jnp.maximum(node, 0)
         bmin = bvh.aabb_min[nsafe]
         bmax = bvh.aabb_max[nsafe]
+        best_t = jax.lax.bitcast_convert_type(
+            best_key & jnp.int32(~LANE_MASK), jnp.float32)
         box_hit = _slab_test(bmin, bmax, o, inv_d, best_t) & live
         is_leaf = nsafe >= n_int
 
         # Leaf: test triangles (only meaningful where box_hit & is_leaf).
         leaf_id = nsafe - n_int
-        p0, e1, e2, tidx = _leaf_tris(scene, bvh, leaf_id)
-        t, u, v, hit = _tri_hits(o, d, p0, e1, e2)
-        hit = hit & (t < best_t[:, None]) & (t < tmax[:, None]) & (box_hit & is_leaf)[:, None]
-        t = jnp.where(hit, t, m.INF)
-        j = jnp.argmin(t, axis=1)
-        rows = jnp.arange(n)
-        cand_t = t[rows, j]
-        better = cand_t < best_t
-        best_t = jnp.where(better, cand_t, best_t)
-        best_prim = jnp.where(better, tidx[rows, j], best_prim)
-        best_b1 = jnp.where(better, u[rows, j], best_b1)
-        best_b2 = jnp.where(better, v[rows, j], best_b2)
+        p0, e1, e2, _ = _leaf_tris(scene, bvh, leaf_id)
+        t, _, _, hit = _tri_hits(o, d, p0, e1, e2)
+        hit = hit & (t < best_t[:, None]) & (t < tmax[:, None]) \
+            & (box_hit & is_leaf)[:, None]
+        t = jnp.where(hit, t, MISS)
+        key = (jax.lax.bitcast_convert_type(t, jnp.int32)
+               & jnp.int32(~LANE_MASK)) | lanes
+        ckey = jnp.min(key, axis=1)
+        better = ckey < best_key
+        base = jnp.clip(leaf_id, 0, bvh.n_leaves - 1) * LEAF_SIZE
+        best_key = jnp.where(better, ckey, best_key)
+        best_base = jnp.where(better, base, best_base)
 
         descend = box_hit & ~is_leaf
         miss = bvh.miss_link[nsafe]
         nxt = jnp.where(descend, 2 * nsafe + 1, miss)
         node = jnp.where(live, nxt, node)
-        return node, best_t, best_prim, best_b1, best_b2
+        return node, best_key, best_base
 
     state = (
         jnp.zeros((n,), jnp.int32),
-        jnp.asarray(tmax),
+        jnp.full((n,), miss_key, jnp.int32),
         jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n,)),
-        jnp.zeros((n,)),
     )
-    node, best_t, best_prim, best_b1, best_b2 = jax.lax.while_loop(cond, body, state)
-    valid = best_t < jnp.asarray(tmax)
+    _, best_key, best_base = jax.lax.while_loop(cond, body, state)
+    best_t = jax.lax.bitcast_convert_type(
+        best_key & jnp.int32(~LANE_MASK), jnp.float32)
+    valid = best_t < MISS
+    slot = jnp.clip(best_base + (best_key & LANE_MASK), 0,
+                    bvh.tri_order.shape[0] - 1)
+    prim = bvh.tri_order[slot]
+    prim = jnp.where(valid & (prim >= 0), prim, 0)
+    z = jnp.zeros((n,), best_t.dtype)
     return Intersection(
         valid=valid,
         t=jnp.where(valid, best_t, m.INF),
-        prim=jnp.where(valid, best_prim, 0),
-        b1=best_b1,
-        b2=best_b2,
+        prim=prim,
+        b1=z,
+        b2=z,
     )
 
 

@@ -134,9 +134,6 @@ def _mxu_tables(scene, chunk: int):
     t = p0.shape[0]
     nrm = jnp.cross(e1, e2)
 
-    def col(c):
-        return c  # (T,) convenience
-
     zeros = jnp.zeros((t,), p0.dtype)
     # phi layout: [1, ox,oy,oz, dx,dy,dz, oxdx,oxdy,oxdz, oydx,oydy,oydz,
     #              ozdx,ozdy,ozdz]

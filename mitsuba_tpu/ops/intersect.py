@@ -368,6 +368,73 @@ def occluded_brute(
     return blocked
 
 
+def _perturb_normal(scene, mat, uv, t0, t1, t2, e1, e2, ns, ng):
+    """Normal/bump mapping: perturb the interpolated shading normal.
+
+    TPU-native fold of the normalmap/bumpmap BSDF adapters
+    (src/bsdfs/{normalmap,bumpmap}.cpp): instead of wrapping the nested
+    BSDF in a frame-rotating plugin, the perturbation is applied once here
+    and every integrator picks it up through si["ns"]. Compiled only when
+    the scene carries a perturb map (`scene.has_perturb` static gate).
+
+    normalmap (kind 1): tangent-space RGB in [0,1], n = 2c-1 in the
+    (dpdu, dpdv, ns) frame. bumpmap (kind 2): scalar height field h(u,v);
+    the displaced partials dp/du + dh/du * ns, dp/dv + dh/dv * ns define
+    the new normal (bumpmap.cpp's getFrame displacement derivative).
+    """
+    from ..models import texture as tex
+
+    mats = scene.materials
+    tid = mats.tex_perturb[mat]
+    kind = mats.perturb_kind[mat]
+    tsafe = jnp.maximum(tid, 0)
+
+    # uv-space tangent solve on the winning triangle: dp/du, dp/dv
+    duv1 = t1 - t0
+    duv2 = t2 - t0
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    bad = jnp.abs(det) < 1e-12
+    inv = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))[:, None]
+    dpdu = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * inv
+    dpdv = (e2 * duv1[:, 0:1] - e1 * duv2[:, 0:1]) * inv
+    # degenerate uvs: any orthonormal tangent frame will do
+    fu, fv = m.coordinate_system(ns)
+    dpdu = jnp.where(bad[:, None], fu, dpdu)
+    dpdv = jnp.where(bad[:, None], fv, dpdv)
+
+    # -- normalmap: rotate the tangent-space normal into world space
+    c = tex.sample_bilinear(scene, tsafe, uv)
+    ntex = 2.0 * c - 1.0
+    t_hat = m.normalize(dpdu - ns * m.dot(ns, dpdu, keepdims=True))
+    b_hat = m.cross(ns, t_hat)
+    # respect the uv handedness so maps baked either way shade correctly
+    b_hat = b_hat * jnp.where(m.dot(b_hat, dpdv, keepdims=True) < 0.0, -1.0, 1.0)
+    n_nm = m.normalize(t_hat * ntex[:, 0:1] + b_hat * ntex[:, 1:2]
+                       + ns * jnp.maximum(ntex[:, 2:3], 1e-3))
+
+    # -- bumpmap: central-difference the height field one texel out
+    hw = scene.tex_size[tsafe].astype(jnp.float32)      # (N,2) = (h, w)
+    du = 1.0 / jnp.maximum(hw[:, 1], 1.0)
+    dv = 1.0 / jnp.maximum(hw[:, 0], 1.0)
+
+    def hgt(uv_):
+        return jnp.mean(tex.sample_bilinear(scene, tsafe, uv_), axis=-1)
+
+    eu = jnp.stack([du, jnp.zeros_like(du)], axis=-1)
+    ev = jnp.stack([jnp.zeros_like(dv), dv], axis=-1)
+    dhdu = (hgt(uv + eu) - hgt(uv - eu)) / (2.0 * du)
+    dhdv = (hgt(uv + ev) - hgt(uv - ev)) / (2.0 * dv)
+    n_bm = m.cross(dpdu + dhdu[:, None] * ns, dpdv + dhdv[:, None] * ns)
+    n_bm = m.normalize(n_bm)
+    n_bm = n_bm * jnp.where(m.dot(n_bm, ns, keepdims=True) < 0.0, -1.0, 1.0)
+
+    new = jnp.where((kind == 1)[:, None], n_nm,
+                    jnp.where((kind == 2)[:, None], n_bm, ns))
+    new = jnp.where(((kind > 0) & (tid >= 0))[:, None], new, ns)
+    # keep the geometric-side agreement of the unperturbed path
+    return jnp.where(m.dot(new, ng, keepdims=True) < 0.0, -new, new)
+
+
 def surface_interaction(scene, o, d, its: Intersection):
     """Expand a hit record into shading data (position, frames, uv, material).
 
@@ -427,6 +494,8 @@ def surface_interaction(scene, o, d, its: Intersection):
     uv = t0 * w0 + t1 * b1[:, None] + t2 * b2[:, None]
     # ids pass through the float matmul exactly (small integers)
     mat = jnp.round(matf[:, 0]).astype(jnp.int32)
+    if scene.has_perturb:
+        ns = _perturb_normal(scene, mat, uv, t0, t1, t2, e1, e2, ns, ng)
     emitter = jnp.round(emf[:, 0]).astype(jnp.int32)
     return {
         "p": p,

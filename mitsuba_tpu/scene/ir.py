@@ -69,6 +69,9 @@ class Materials:
                    weight, opacity, microfacet distribution code, ...)
       tex_reflectance: (M,) int32 texture id for reflectance or TEX_NONE
       nested:      (M,2) int32 child material ids (twosided/blend/mask)
+      tex_perturb: (M,) int32 normal/bump map texture id or TEX_NONE
+      perturb_kind:(M,) int32 0=none, 1=normalmap (tangent-space RGB),
+                   2=bumpmap (height; src/bsdfs/{normalmap,bumpmap}.cpp)
     """
 
     type: jax.Array
@@ -80,6 +83,8 @@ class Materials:
     extra: jax.Array
     tex_reflectance: jax.Array
     nested: jax.Array
+    tex_perturb: jax.Array
+    perturb_kind: jax.Array
 
     @staticmethod
     def stack(records: list[dict]) -> "Materials":
@@ -95,10 +100,14 @@ class Materials:
         types = np.full((n,), BSDF_DIFFUSE, np.int32)
         texr = np.full((n,), TEX_NONE, np.int32)
         nested = np.full((n, 2), -1, np.int32)
+        texp = np.full((n,), TEX_NONE, np.int32)
+        pkind = np.zeros((n,), np.int32)
         for i, r in enumerate(records):
             types[i] = r.get("type", BSDF_DIFFUSE)
             texr[i] = r.get("tex_reflectance", TEX_NONE)
             nested[i] = r.get("nested", (-1, -1))
+            texp[i] = r.get("tex_perturb", TEX_NONE)
+            pkind[i] = r.get("perturb_kind", 0)
         return Materials(
             type=jnp.asarray(types),
             reflectance=col("reflectance", 3, [0.5, 0.5, 0.5]),
@@ -109,6 +118,8 @@ class Materials:
             extra=col("extra", 4, [0.0, 0.0, 0.0, 0.0]),
             tex_reflectance=jnp.asarray(texr),
             nested=jnp.asarray(nested),
+            tex_perturb=jnp.asarray(texp),
+            perturb_kind=jnp.asarray(pkind),
         )
 
 
@@ -235,6 +246,9 @@ class Scene:
     bsdf_families: tuple = struct.field(pytree_node=False, default=())
     has_env: bool = struct.field(pytree_node=False, default=False)
     has_area: bool = struct.field(pytree_node=False, default=True)
+    # any material carries a normal/bump map (gates the perturbation code
+    # in ops/intersect.surface_interaction so plain scenes compile none of it)
+    has_perturb: bool = struct.field(pytree_node=False, default=False)
     aux: Any = struct.field(pytree_node=False, default=None)
 
     # ------------------------------------------------------------------
@@ -408,4 +422,5 @@ def build_scene(
         bsdf_families=families,
         has_env=bool(has_env),
         has_area=bool(em_tris),
+        has_perturb=any(int(r.get("perturb_kind", 0)) != 0 for r in materials),
     )

@@ -313,6 +313,26 @@ class _Loader:
             if "id" in node.attrib:
                 self.mat_ids[node.attrib["id"]] = mid
             return mid  # opacity composited later; pass-through for now
+        elif typ in ("bumpmap", "normalmap"):
+            # adapters (src/bsdfs/{bumpmap,normalmap}.cpp): annotate the
+            # nested bsdf with a perturb map; the shading-normal rotation
+            # happens once in surface_interaction (ops/intersect.py)
+            inner = [c for c in node if c.tag == "bsdf"]
+            refs = [c for c in node if c.tag == "ref"]
+            texn = [c for c in node if c.tag == "texture"]
+            if inner:
+                mid = self.convert_bsdf(inner[0])
+            elif refs:
+                mid = self.mat_ids[refs[0].attrib["id"]]
+            else:
+                raise ValueError(f"{typ} without nested bsdf")
+            if not texn:
+                raise ValueError(f"{typ} without a texture")
+            self.materials[mid]["tex_perturb"] = self.load_texture(texn[0])
+            self.materials[mid]["perturb_kind"] = 2 if typ == "bumpmap" else 1
+            if "id" in node.attrib:
+                self.mat_ids[node.attrib["id"]] = mid
+            return mid
         else:
             raise ValueError(f"unsupported bsdf plugin '{typ}'")
 

@@ -576,7 +576,21 @@ def load_xml(path, defaults: dict | None = None):
                     rec["beam_deg"] = float(p.get("beamWidth", co * 0.75))
                 ld.delta_emitters.append(rec)
             elif typ in ("sun", "sky", "sunsky"):
-                raise ValueError(f"emitter '{typ}' not yet supported by the loader")
+                # procedural daylight baked to a lat-long envmap at load
+                # time, exactly the reference's strategy (sky.cpp bakes at
+                # `resolution` in configure()); models/sunsky.py
+                from ..models import sunsky as sunskylib
+                sd = p.get("sunDirection", np.asarray([0.0, 0.7071, 0.7071]))
+                data = sunskylib.bake(
+                    typ,
+                    sun_dir=np.asarray(sd, np.float64),
+                    turbidity=float(p.get("turbidity", 3.0)),
+                    scale=float(p.get("scale", 1.0)),
+                    resolution=int(p.get("resolution", 512)),
+                    sun_radius_scale=float(p.get("sunRadiusScale", 1.0)),
+                )
+                ld.env_radiance = None
+                ld.cfg_kw.setdefault("_envmap", data)
         elif tag in ("default", "alias", "include", "null"):
             pass
 

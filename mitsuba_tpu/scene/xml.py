@@ -424,11 +424,15 @@ class _Loader:
                 p.get("p1", np.asarray([0, 0, 1], np.float32)),
                 float(p.get("radius", 1.0)),
             )
-        elif typ in ("obj", "ply"):
+        elif typ in ("obj", "ply", "serialized"):
             from ..io import mesh as meshlib
 
             fn = self.base / p["filename"]
-            md = meshlib.load_obj(fn) if typ == "obj" else meshlib.load_ply(fn)
+            if typ == "serialized":
+                from ..io import serialized as serlib
+                md = serlib.read_serialized(fn, int(p.get("shapeIndex", 0)))
+            else:
+                md = meshlib.load_obj(fn) if typ == "obj" else meshlib.load_ply(fn)
             v, f = md.vertices, md.indices
             n = md.normals if md.normals is not None else np.zeros_like(v)
             uv = md.uvs if md.uvs is not None else np.zeros((len(v), 2), np.float32)

@@ -22,39 +22,12 @@ from ..core import math as m
 from ..core.rng import SampleStream, uniform
 from ..core import warp
 from ..models import bsdf as bsdflib
+from ..models.emitter import sample_emitter_ray  # noqa: F401 (re-export)
 from ..ops import trace
 from .common import RenderConfig
 
 RAY_EPS = 1e-3
 DIMS_PER_BOUNCE = 8
-
-
-def sample_emitter_ray(scene, u_sel, u_pos, u_dir):
-    """Emitter-sampled ray with power throughput (Scene::sampleEmitterRay,
-    scene.cpp analog): position ~ area x luminance CDF, direction ~ cosine.
-
-    Returns (o, d, beta, ng) with beta = Le * pi * area / sel_pdf (the
-    1/pdf-weighted emitted power of the particle)."""
-    em = scene.emitters
-    idx = jnp.clip(
-        jnp.searchsorted(em.tri_cdf, u_sel, side="left"), 0, em.tri_cdf.shape[0] - 1
-    ).astype(jnp.int32)
-    tri = em.tri_index[idx]
-    sel_pdf = em.tri_pdf[idx]
-    p0, e1, e2 = scene.tri_vertices()
-    b = warp.square_to_uniform_triangle(u_pos)
-    pos = p0[tri] + e1[tri] * b[..., 0:1] + e2[tri] * b[..., 1:2]
-    ngv = jnp.cross(e1[tri], e2[tri])
-    two_a = m.length(ngv)
-    ng = ngv / two_a[:, None]
-    area = 0.5 * two_a
-    wo_local = warp.square_to_cosine_hemisphere(u_dir)
-    d = m.to_world(ng, wo_local)
-    le = em.radiance[em.tri_emitter[idx]]
-    # beta = Le cos / (pdf_pos * pdf_dir) with pdf_dir = cos/pi
-    beta = le * (jnp.pi * m.safe_div(area, sel_pdf))[:, None]
-    o = pos + ng * RAY_EPS
-    return o, d, beta, ng
 
 
 def render(scene, cam, cfg: RenderConfig, n_particles: int | None = None) -> jax.Array:
@@ -103,15 +76,22 @@ def render(scene, cam, cfg: RenderConfig, n_particles: int | None = None) -> jax
         def u(dim):
             return uniform(seed, pid, jnp.uint32(0), dim)
 
-        o, d, beta, ng = sample_emitter_ray(
+        ers = sample_emitter_ray(
             scene, u(0), jnp.stack([u(1), u(2)], -1), jnp.stack([u(3), u(4)], -1)
         )
-        # Emission vertex splat: the camera sees radiance Le directly, so
+        o, d, beta = ers.o, ers.d, ers.beta
+        # Emission vertex splat (area lights only: delta positions are
+        # invisible to the camera and infinite lights have no surface —
+        # the reference's handleEmission likewise only connects emitters
+        # with a real surface): the camera sees radiance Le directly, so
         # the area-measure throughput is beta_pos = Le * area / sel_pdf
         # (= beta / pi) and the "f_cos" of the connection is just cos_x.
         dir_e0 = m.normalize(eye[None, :] - o)
-        cos_x = jnp.maximum(m.dot(dir_e0, ng), 0.0)
-        img, _ = splat_to_camera(img, o, (beta / jnp.pi) * cos_x[:, None])
+        cos_x = jnp.maximum(m.dot(dir_e0, ers.ng), 0.0)
+        img, _ = splat_to_camera(
+            img, o,
+            jnp.where(ers.is_area[:, None], (beta / jnp.pi) * cos_x[:, None], 0.0),
+        )
 
         active = jnp.ones((chunk,), bool)
         state = (o, d, beta, active, img)

@@ -37,7 +37,7 @@ from ..models import emitter as emitterlib
 from ..ops import hashgrid, trace
 from ..scene import ir as _ir
 from .common import RenderConfig
-from .ptracer import sample_emitter_ray
+from ..models.emitter import sample_emitter_ray
 
 RAY_EPS = 1e-3
 
@@ -163,9 +163,10 @@ def _photon_pass(scene, cfg, pass_idx, n_photons: int, max_depth: int):
     def u(k):
         return uniform(seed, pid, sidx, k)
 
-    o, d, beta, _ = sample_emitter_ray(
+    ers = sample_emitter_ray(
         scene, u(0), jnp.stack([u(1), u(2)], -1), jnp.stack([u(3), u(4)], -1)
     )
+    o, d, beta = ers.o, ers.d, ers.beta
     active = jnp.ones((n_photons,), bool)
     families = scene.bsdf_families
 

@@ -30,7 +30,7 @@ def li(scene, cam, o, d, stream, cfg: RenderConfig) -> jax.Array:
     families = scene.bsdf_families
     n_paths = max(n // 16, 256)
     M = 8
-    cache = build_light_cache(scene, cfg, n_paths, max(cfg.max_depth - 1, 1))
+    cache = build_light_cache(scene, cfg, n_paths, 1.0)
     V = cache.pos.shape[0]
 
     its = trace.closest_hit(scene, o, d)

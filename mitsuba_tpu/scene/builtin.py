@@ -16,9 +16,10 @@ def _quad(p0, p1, p2, p3):
     return [p0, p1, p2], [p0, p2, p3]
 
 
-def cornell_box(width=256, height=256, light_scale=1.0):
+def cornell_box(width=256, height=256, light_scale=1.0, area_light=True):
     """The classic Cornell box (dimensions from cornell.graphics standard),
-    camera matching the usual view. Returns (scene, camera)."""
+    camera matching the usual view. Returns (scene, camera).
+    area_light=False omits the ceiling light (for the *_lit variants)."""
     verts: list = []
     tris: list = []
     mats: list = []
@@ -61,16 +62,17 @@ def cornell_box(width=256, height=256, light_scale=1.0):
     # tall block (left, back)
     _add_box(add_quad, W, center=(0.32, 0.0, 0.66), size=(0.30, 0.60, 0.30), angle=0.29)
 
-    # area light just below ceiling (normal -y), classic warm emission
-    le = (np.asarray([17.0, 12.0, 4.0]) * light_scale).tolist()
-    add_quad(
-        [0.37, 0.9988, 0.33],
-        [0.63, 0.9988, 0.33],
-        [0.63, 0.9988, 0.67],
-        [0.37, 0.9988, 0.67],
-        LM,
-        radiance=le,
-    )
+    if area_light:
+        # area light just below ceiling (normal -y), classic warm emission
+        le = (np.asarray([17.0, 12.0, 4.0]) * light_scale).tolist()
+        add_quad(
+            [0.37, 0.9988, 0.33],
+            [0.63, 0.9988, 0.33],
+            [0.63, 0.9988, 0.67],
+            [0.37, 0.9988, 0.67],
+            LM,
+            radiance=le,
+        )
 
     scene = ir.build_scene(
         np.asarray(verts, np.float32),
@@ -86,6 +88,87 @@ def cornell_box(width=256, height=256, light_scale=1.0):
         width=width,
         height=height,
     )
+    return scene, cam
+
+
+def cornell_box_lit(light="point", width=16, height=16):
+    """Cornell geometry (no area light) lit by a non-area emitter — the
+    cross-integrator fixtures VERDICT flagged as missing: every integrator
+    that starts light paths must agree with `path` here, not only on the
+    area-lit box. light: "point" | "spot" | "env"."""
+    scene, cam = cornell_box(width=width, height=height, area_light=False)
+    if light == "env":
+        # rebuild with a constant environment; the box has an open front
+        # (camera side), so env light enters the box
+        scene = scene.replace(
+            has_env=True,
+            env_radiance=np.asarray([1.0, 0.9, 0.7], np.float32))
+        return scene, cam
+    if light == "point":
+        recs = [{"kind": ir.DELTA_POINT, "position": [0.5, 0.8, 0.5],
+                 "intensity": [2.0, 1.8, 1.5]}]
+    elif light == "spot":
+        recs = [{"kind": ir.DELTA_SPOT, "position": [0.5, 0.95, 0.5],
+                 "direction": [0.0, -1.0, 0.0],
+                 "intensity": [4.0, 3.6, 3.0],
+                 "cutoff_deg": 40.0, "beam_deg": 30.0}]
+    else:
+        raise ValueError(light)
+    return scene.replace(delta_emitters=ir.build_delta_emitters(recs)), cam
+
+
+def caustic_box(width=16, height=16, rough=False):
+    """A mirror-caustic fixture: the Cornell box with the tall block made a
+    perfect mirror and the light rotated to faceit, so most indirect energy
+    arrives via a specular bounce — the regime where BDPT's light-tracing
+    (t=1) strategies dominate (the scene class bdpt_proc.cpp's light image
+    exists for)."""
+    verts: list = []
+    tris: list = []
+    mats: list = []
+    tri_mat: list = []
+    tri_rad: dict = {}
+
+    def add_quad(p0, p1, p2, p3, mat_id, radiance=None):
+        base = len(verts)
+        verts.extend([p0, p1, p2, p3])
+        for t in ([base, base + 1, base + 2], [base, base + 2, base + 3]):
+            if radiance is not None:
+                tri_rad[len(tris)] = radiance
+            tris.append(t)
+            tri_mat.append(mat_id)
+
+    white = {"type": ir.BSDF_DIFFUSE, "reflectance": [0.725, 0.71, 0.68]}
+    if rough:
+        # near-specular rough mirror: the regime MLT's perturbations are
+        # for (delta mirrors need the manifold walk — see mlt.py scope)
+        mirror = {"type": ir.BSDF_ROUGH_CONDUCTOR, "eta": [0.2, 0.92, 1.1],
+                  "k": [3.9, 2.45, 2.14], "specular": [1.0, 1.0, 1.0],
+                  "alpha": 0.08}
+    else:
+        mirror = {"type": ir.BSDF_CONDUCTOR, "eta": [0.2, 0.92, 1.1],
+                  "k": [3.9, 2.45, 2.14], "specular": [1.0, 1.0, 1.0]}
+    dark = {"type": ir.BSDF_DIFFUSE, "reflectance": [0.0, 0.0, 0.0]}
+    mats.extend([white, mirror, dark])
+    W, M, LM = 0, 1, 2
+
+    add_quad([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0], W)      # floor
+    add_quad([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1], W)      # ceiling
+    add_quad([0, 0, 1], [0, 1, 1], [1, 1, 1], [1, 0, 1], W)      # back
+    add_quad([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1], W)      # left
+    # right wall is the mirror
+    add_quad([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0], M)
+    # small bright light high on the LEFT wall aimed at the mirror (+x)
+    add_quad([0.001, 0.6, 0.45], [0.001, 0.7, 0.45],
+             [0.001, 0.7, 0.55], [0.001, 0.6, 0.55], LM,
+             radiance=[80.0, 70.0, 50.0])
+
+    scene = ir.build_scene(
+        np.asarray(verts, np.float32), np.asarray(tris, np.int32),
+        np.asarray(tri_mat, np.int32), mats, tri_radiance=tri_rad)
+    cam = sensorlib.make_camera(
+        origin=[0.5, 0.5, -1.4], target=[0.5, 0.5, 0.0],
+        fov_x=39.3077, width=width, height=height)
     return scene, cam
 
 

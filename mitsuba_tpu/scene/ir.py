@@ -242,6 +242,10 @@ class Scene:
     occupancy: Any = None
 
     # Static metadata
+    # Power-weighted (area, env, delta) emitter-group selection probs
+    # (models/emitter.compute_group_probs; empty = uniform over present
+    # groups). Static so pdf math stays trace-free.
+    group_probs: tuple = struct.field(pytree_node=False, default=())
     num_triangles: int = struct.field(pytree_node=False, default=0)
     bsdf_families: tuple = struct.field(pytree_node=False, default=())
     has_env: bool = struct.field(pytree_node=False, default=False)

@@ -134,11 +134,25 @@ def main(argv=None):
         from .integrators import sppm as sppmlib
 
         img, _ = sppmlib.render(scene, cam, cfg, n_passes=max(cfg.spp // 4, 1))
-    elif li_fn in ("pssmlt", "mlt"):
+    elif li_fn == "pssmlt":
         from .integrators import pssmlt as pssmltlib
 
         img = pssmltlib.render_jit(scene, cam, cfg,
                                    n_mutations=max(cfg.spp, 64))
+    elif li_fn == "mlt":
+        # path-space MLT (Veach mutators); area-lit scenes — env/delta-lit
+        # scenes fall back to primary-sample-space (see mlt.py scope notes)
+        if scene.has_area and not (scene.has_env
+                                   or scene.delta_emitters is not None):
+            from .integrators import mlt as mltlib
+
+            img = mltlib.render_jit(scene, cam, cfg,
+                                    n_mutations=max(cfg.spp, 64))
+        else:
+            from .integrators import pssmlt as pssmltlib
+
+            img = pssmltlib.render_jit(scene, cam, cfg,
+                                       n_mutations=max(cfg.spp, 64))
     elif li_fn == "erpt":
         from .integrators import erpt as erptlib
 

@@ -50,6 +50,16 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         return stream.at_dim(SENSOR_DIMS + cfg.max_depth * DIMS_PER_BOUNCE
                              + bounce * 4 + j)
 
+    is_grid = med.kind == medlib.MEDIUM_GRID
+    TRACK = medlib.TRACK_STEPS
+    track_base = SENSOR_DIMS + cfg.max_depth * (DIMS_PER_BOUNCE + 4)
+
+    def track_u(bounce, j):
+        """Tracking-walk dims (grid media): 3*TRACK per bounce — 2*TRACK
+        for delta-tracking distance sampling, TRACK for NEE ratio
+        tracking."""
+        return stream.at_dim(track_base + bounce * 3 * TRACK + j)
+
     def nee(p, beta, wi_world, ns_or_none, ng_or_none, sp, t, active_mask,
             is_medium_lane):
         """Shared next-event estimation for surface + medium lanes. `p` is
@@ -77,7 +87,12 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
               & (jnp.max(beta, -1) > 0.0))
         # raw-origin shadow ray, t in (eps, dist*(1-eps)) — see path.py note
         blocked = trace.any_hit(scene, p, ds.d, ds.dist)
-        tr = medlib.transmittance(med, ds.dist)
+        if is_grid:
+            tr = medlib.transmittance_track(
+                med, lambda j: track_u(t, 2 * medlib.TRACK_STEPS + j),
+                p, ds.d, jnp.minimum(ds.dist, 1e7))
+        else:
+            tr = medlib.transmittance(med, ds.dist)
         w = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_fwd))
         contrib = beta * f * tr * ds.radiance * m.safe_div(w, ds.pdf)[:, None]
         return jnp.where((ok & ~blocked)[:, None], contrib, 0.0)
@@ -88,9 +103,14 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         its = trace.closest_hit(scene, o, d)
         t_surf = jnp.where(its.valid, its.t, 1e30)
 
-        u_chan = medium_u(t, 0)
-        u_dist = medium_u(t, 1)
-        t_m, is_med, w_med, w_surf = medlib.sample_distance(med, u_chan, u_dist, t_surf)
+        if is_grid:
+            t_m, is_med, w_med, w_surf = medlib.sample_distance_grid(
+                med, lambda j: track_u(t, j), o, d, t_surf)
+        else:
+            u_chan = medium_u(t, 0)
+            u_dist = medium_u(t, 1)
+            t_m, is_med, w_med, w_surf = medlib.sample_distance(
+                med, u_chan, u_dist, t_surf)
         # clamp free-flight distance so p_m stays in float32 range even in
         # the near-vacuum limit (events out there carry w_med ~ 0 anyway)
         t_m = jnp.minimum(t_m, 3e7)

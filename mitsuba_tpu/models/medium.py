@@ -119,6 +119,121 @@ def transmittance_grid(med: Medium, o, d, dist, u, steps: int = 32) -> jax.Array
     return jnp.exp(-med.sigma_t[None, :] * optical[:, None])
 
 
+# ---------------------------------------------------------------------------
+# Grid-medium unbiased tracking (heterogeneous.cpp sampleDistance /
+# evalTransmittance analog). Both walks use a FIXED unrolled collision
+# budget instead of lax.while_loop: per-lane grid gathers inside while
+# bodies fault on the tunneled TPU runtime (see scene/bvh notes), and a
+# static unroll also compiles leaner. Lanes whose collision budget runs
+# out are treated as reaching the surface carrying their accumulated
+# weight — the truncation bias is ~P(#collisions > budget), negligible
+# when the budget covers several majorant mean-free-paths.
+# ---------------------------------------------------------------------------
+
+TRACK_STEPS = 48
+
+
+MAJORANT_BOOST = 1.5
+
+
+def _majorant(med: Medium):
+    """Scalar majorant extinction over the grid (sigma_t max-channel x
+    max density x boost). The boost keeps the null-collision probability
+    strictly positive even at max-density points — with a tight majorant
+    the spectral history weights of the sub-maximal channels would be
+    starved (their null continuations have probability 0), biasing Tr
+    toward the max channel. Density outside the box is 0 (nulls there
+    are free)."""
+    return jnp.maximum(
+        jnp.max(med.sigma_t) * jnp.max(med.density) * MAJORANT_BOOST, 1e-12)
+
+
+def sample_distance_grid(med: Medium, u_fn, o, d, t_surface,
+                         steps: int = TRACK_STEPS):
+    """Weighted delta tracking (Woodcock with spectral history weights):
+    returns (t, is_medium, w_med (N,3), w_surf (N,3)) matching
+    sample_distance's contract.
+
+    u_fn(j) -> (N,) fresh uniforms for collision j (two per step).
+    At each tentative collision with local density rho:
+      P_real = sigma_ref rho / maj        (sigma_ref = max-channel sigma_t)
+      real:  W_c *= sigma_t_c rho / (sigma_ref rho)   -> w_med = W * albedo
+      null:  W_c *= (maj - sigma_t_c rho) / (maj - sigma_ref rho)
+    which leaves W_c = Tr_c(t) sigma_t_c / pdf(t) in expectation — the
+    single-sample unbiased spectral estimator.
+    """
+    n = o.shape[0]
+    maj = _majorant(med)
+    # real/null split on the MEAN channel: with the max channel as the
+    # reference, sub-maximal channels carry per-null weights far above 1
+    # and the history-weight variance explodes multiplicatively
+    sigma_ref = jnp.mean(med.sigma_t)
+
+    def body(carry, j):
+        t, W, done_med, done_surf = carry
+        step = -jnp.log(jnp.maximum(1.0 - u_fn(2 * j), 1e-38)) / maj
+        t_new = t + step
+        walking = ~(done_med | done_surf)
+        reach_surf = walking & (t_new >= t_surface)
+        done_surf = done_surf | reach_surf
+        at = jnp.minimum(t_new, t_surface)
+        p = o + d * at[:, None]
+        rho = density_at(med, p)
+        p_real = jnp.clip(sigma_ref * rho / maj, 0.0, 1.0)
+        real = walking & ~reach_surf & (u_fn(2 * j + 1) < p_real)
+        # spectral history weights
+        w_real = m.safe_div(med.sigma_t[None, :] * rho[:, None],
+                            jnp.maximum(sigma_ref * rho, 1e-30)[:, None])
+        denom = jnp.maximum(maj - sigma_ref * rho, 1e-30)
+        w_null = (maj - med.sigma_t[None, :] * rho[:, None]) / denom[:, None]
+        upd = jnp.where(real[:, None], w_real,
+                        jnp.where((walking & ~reach_surf)[:, None],
+                                  w_null, 1.0))
+        W = W * upd
+        done_med = done_med | real
+        t = jnp.where(walking, at, t)
+        return (t, W, done_med, done_surf), None
+
+    init = (jnp.zeros((n,)), jnp.ones((n, 3)),
+            jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    (t, W, done_med, _), _ = jax.lax.scan(
+        body, init, jnp.arange(steps, dtype=jnp.uint32))
+    # exhausted lanes: count as surface (see budget note above)
+    sigma_s = med.sigma_t * med.albedo
+    w_med = W * jnp.where(med.sigma_t[None, :] > 0,
+                          sigma_s[None, :] / jnp.maximum(
+                              med.sigma_t[None, :], 1e-30), 0.0)
+    return t, done_med, w_med, W
+
+
+def transmittance_track(med: Medium, u_fn, o, d, dist,
+                        steps: int = TRACK_STEPS):
+    """Ratio tracking: unbiased spectral Tr estimate along a segment
+    (heterogeneous.cpp evalTransmittance; Novak et al. residual-free form).
+    u_fn(j) -> (N,) fresh uniforms."""
+    n = o.shape[0]
+    maj = _majorant(med)
+
+    def body(carry, j):
+        t, W, done = carry
+        step = -jnp.log(jnp.maximum(1.0 - u_fn(j), 1e-38)) / maj
+        t = t + jnp.where(done, 0.0, step)
+        past = t >= dist
+        done_new = done | past
+        p = o + d * jnp.minimum(t, dist)[:, None]
+        rho = density_at(med, p)
+        w_null = jnp.clip(1.0 - med.sigma_t[None, :] * rho[:, None] / maj,
+                          0.0, 1.0)
+        W = W * jnp.where((~done_new)[:, None], w_null, 1.0)
+        return (t, W, done_new), None
+
+    init = (jnp.zeros((n,)), jnp.ones((n, 3)), jnp.zeros((n,), bool))
+    (_, W, _), _ = jax.lax.scan(body, init,
+                                jnp.arange(steps, dtype=jnp.uint32))
+    # lanes still inside after the budget: conservative upper-bound factor
+    return W
+
+
 def sample_distance(med: Medium, u_chan: jax.Array, u_dist: jax.Array,
                     t_surface: jax.Array):
     """Spectral distance sampling with uniform channel selection

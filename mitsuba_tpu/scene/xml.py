@@ -180,6 +180,80 @@ class _Loader:
         self.width = 256
         self.height = 256
         self.integrator = "path"
+        self.medium = None             # scene/global participating medium
+        self.medium_tris: list = []    # triangle ids bounding an interior
+        self.medium_ids: dict = {}     # id -> Medium (for <ref>)
+
+    # --- media ---------------------------------------------------------
+    def convert_medium(self, node):
+        """<medium type="homogeneous|heterogeneous"> -> models.medium.Medium
+        (medium.h:120 plugin parity). Heterogeneous parses a nested
+        gridvolume/constvolume density (src/volume/)."""
+        from ..models import medium as medlib, phase as phaselib
+
+        typ = node.attrib["type"]
+        p = _props(node, self.subst)
+        g = 0.0
+        phase = phaselib.PHASE_ISOTROPIC
+        for child in node:
+            if child.tag == "phase":
+                pt = child.attrib["type"]
+                pp = _props(child, self.subst)
+                if pt == "hg":
+                    phase = phaselib.PHASE_HG
+                    g = float(pp.get("g", 0.0))
+                elif pt == "isotropic":
+                    phase = phaselib.PHASE_ISOTROPIC
+                elif pt == "rayleigh":
+                    phase = phaselib.PHASE_RAYLEIGH
+                else:
+                    raise ValueError(f"unsupported phase plugin '{pt}'")
+        scale = float(p.get("scale", 1.0))
+        if typ == "homogeneous":
+            if "sigmaT" in p:
+                sig_t = np.asarray(p["sigmaT"], np.float32) * scale
+                alb = np.asarray(p.get("albedo", [0.8] * 3), np.float32)
+                sig_s = sig_t * alb
+                sig_a = sig_t - sig_s
+            else:
+                sig_s = np.asarray(p.get("sigmaS", [1.0] * 3), np.float32) * scale
+                sig_a = np.asarray(p.get("sigmaA", [0.1] * 3), np.float32) * scale
+            med = medlib.make_homogeneous(sig_s, sig_a, g=g, phase=phase)
+        elif typ == "heterogeneous":
+            dens = None
+            box_min, box_max = (0, 0, 0), (1, 1, 1)
+            for child in node:
+                if child.tag == "volume" and \
+                        child.attrib.get("name", "density") == "density":
+                    vt = child.attrib["type"]
+                    vp = _props(child, self.subst)
+                    if vt == "gridvolume":
+                        from ..io import vol as vollib
+                        dens, box_min, box_max = vollib.read_vol(
+                            str(self.base / vp["filename"]))
+                        if dens.ndim == 4:
+                            dens = dens.mean(-1)
+                    elif vt == "constvolume":
+                        v = vp.get("value", 1.0)
+                        if isinstance(v, (list, tuple, np.ndarray)):
+                            v = float(np.mean(v))
+                        dens = np.full((2, 2, 2), float(v), np.float32)
+                        box_min, box_max = (-1e4,) * 3, (1e4,) * 3
+                    else:
+                        raise ValueError(f"unsupported volume plugin '{vt}'")
+            if dens is None:
+                raise ValueError("heterogeneous medium without a density volume")
+            alb = p.get("albedo", [0.8] * 3)
+            if isinstance(alb, (list, tuple, np.ndarray)):
+                alb = np.asarray(alb, np.float32)
+            med = medlib.make_grid(dens, scale, alb, g=g,
+                                   box_min=box_min, box_max=box_max,
+                                   phase=phase)
+        else:
+            raise ValueError(f"unsupported medium plugin '{typ}'")
+        if "id" in node.attrib:
+            self.medium_ids[node.attrib["id"]] = med
+        return med
 
     # --- textures ------------------------------------------------------
     def load_texture(self, node) -> int:
@@ -290,6 +364,46 @@ class _Loader:
                 wgt = ws[0] / max(sum(ws[:2]), 1e-9)
             rec.update(type=ir.BSDF_BLEND, nested=(kids[0], kids[1]),
                        extra=[wgt, 0, 0, 0])
+        elif typ in ("coating", "roughcoating"):
+            # src/bsdfs/{coating,roughcoating}.cpp: Weidlich-Wilkie coat
+            # over a one-level nested child (models/bsdf.py BSDF_COATING)
+            inner = [c for c in node if c.tag == "bsdf"]
+            refs = [c for c in node if c.tag == "ref" and "name" not in c.attrib]
+            if inner:
+                child = self.convert_bsdf(inner[0])
+            elif refs:
+                child = self.mat_ids[refs[0].attrib["id"]]
+            else:
+                raise ValueError(f"{typ} without nested bsdf")
+            sigma_a = np.asarray(p.get("sigmaA", [0.0] * 3), np.float32) \
+                * np.float32(p.get("thickness", 1.0))
+            avg_absorb = float(np.mean(np.exp(-2.0 * sigma_a)))
+            w_spec = 1.0 / (avg_absorb + 1.0)
+            alpha_c = float(p.get("alpha", 0.1)) if typ == "roughcoating" \
+                else 0.0
+            rec.update(type=ir.BSDF_COATING, nested=(child, -1),
+                       reflectance=sigma_a,
+                       specular=p.get("specularReflectance",
+                                      np.ones(3, np.float32)),
+                       eta=[eta_d] * 3, alpha=[alpha_c, alpha_c],
+                       extra=[w_spec, 0, 0, dist])
+        elif typ == "hk":
+            # src/bsdfs/hk.cpp: sigmaS&sigmaA or sigmaT&albedo conventions
+            thick = np.float32(p.get("thickness", 1.0))
+            if "sigmaT" in p:
+                sig_t = np.asarray(p["sigmaT"], np.float32)
+                alb = np.asarray(p.get("albedo", [0.8] * 3), np.float32)
+                sig_s = sig_t * alb
+                sig_a = sig_t - sig_s
+            else:
+                sig_s = np.asarray(p.get("sigmaS", [2.0] * 3), np.float32)
+                sig_a = np.asarray(p.get("sigmaA", [0.1] * 3), np.float32)
+            g = 0.0
+            for child in node:
+                if child.tag == "phase" and child.attrib["type"] == "hg":
+                    g = float(_props(child, self.subst).get("g", 0.0))
+            rec.update(type=ir.BSDF_HK, reflectance=sig_s * thick,
+                       specular=sig_a * thick, extra=[g, 0, 0, 0])
         elif typ == "null":
             rec.update(type=ir.BSDF_NULL)
         elif typ == "twosided":
@@ -308,11 +422,36 @@ class _Loader:
                 self.mat_ids[node.attrib["id"]] = mid
             return mid
         elif typ == "mask":
+            # src/bsdfs/mask.cpp: opacity-blend of the nested bsdf with a
+            # null pass-through — expressed as the BLEND adapter picking
+            # the child with prob extra[0]=opacity, else a NULL row
             inner = [c for c in node if c.tag == "bsdf"]
-            mid = self.convert_bsdf(inner[0]) if inner else 0
+            refs = [c for c in node if c.tag == "ref"]
+            if inner:
+                child = self.convert_bsdf(inner[0])
+            elif refs:
+                child = self.mat_ids[refs[0].attrib["id"]]
+            else:
+                raise ValueError("mask without nested bsdf")
+            op = p.get("opacity", 0.5)
+            if isinstance(op, (list, tuple, np.ndarray)):
+                op = float(np.mean(op))
+            else:
+                try:
+                    op = float(op)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        "mask: textured opacity is not supported yet "
+                        "(scalar <float name=\"opacity\"> only)")
+            null_id = len(self.materials)
+            self.materials.append({"type": ir.BSDF_NULL})
+            mid = len(self.materials)
+            self.materials.append({"type": ir.BSDF_BLEND,
+                                   "nested": [child, null_id],
+                                   "extra": [op, 0.0, 0.0, 0.0]})
             if "id" in node.attrib:
                 self.mat_ids[node.attrib["id"]] = mid
-            return mid  # opacity composited later; pass-through for now
+            return mid
         elif typ in ("bumpmap", "normalmap"):
             # adapters (src/bsdfs/{bumpmap,normalmap}.cpp): annotate the
             # nested bsdf with a perturb map; the shading-normal rotation
@@ -485,6 +624,19 @@ class _Loader:
                 fp = _props(child, self.subst)
                 self.width = int(fp.get("width", 768))
                 self.height = int(fp.get("height", 576))
+                for fc in child:
+                    if fc.tag == "rfilter":
+                        from ..film import film as filmlib
+                        fmap = {"box": filmlib.FILTER_BOX,
+                                "tent": filmlib.FILTER_TENT,
+                                "gaussian": filmlib.FILTER_GAUSSIAN,
+                                "mitchell": filmlib.FILTER_MITCHELL,
+                                "catmullrom": filmlib.FILTER_CATMULLROM,
+                                "lanczos": filmlib.FILTER_LANCZOS}
+                        ft = fc.attrib["type"]
+                        if ft not in fmap:
+                            raise ValueError(f"unsupported rfilter '{ft}'")
+                        self.cfg_kw["filter"] = fmap[ft]
             elif child.tag == "sampler":
                 sp = _props(child, self.subst)
                 spp = int(sp.get("sampleCount", 16))
@@ -546,6 +698,15 @@ def load_xml(path, defaults: dict | None = None):
         subst.update(defaults)
 
     ld = _Loader(path.parent, subst)
+    _process_children(root, ld, subst, path.parent)
+    return _finish(ld)
+
+
+def _process_children(root, ld, subst, base_dir):
+    """Dispatch scene-level tags; recurses into <include> files
+    (scenehandler.cpp's EIncludeDirective)."""
+    from pathlib import Path as _P
+
     for child in root:
         tag = child.tag
         if tag == "integrator":
@@ -554,8 +715,30 @@ def load_xml(path, defaults: dict | None = None):
             ld.convert_sensor(child)
         elif tag == "bsdf":
             ld.convert_bsdf(child)
+        elif tag == "medium":
+            ld.medium = ld.convert_medium(child)
+        elif tag == "include":
+            inc_path = base_dir / child.attrib["filename"]
+            inc_root = ET.parse(inc_path).getroot()
+            if inc_root.tag != "scene":
+                raise ValueError(f"{inc_path}: included root must be <scene>")
+            for c in inc_root:
+                if c.tag == "default":
+                    subst.setdefault(c.attrib["name"], c.attrib["value"])
+            _process_children(inc_root, ld, subst, _P(inc_path).parent)
         elif tag == "shape":
+            t0 = len(ld.tris)
             ld.convert_shape(child)
+            for sub in child:
+                if sub.tag == "medium":
+                    if sub.attrib.get("name", "interior") != "interior":
+                        raise ValueError(
+                            "only interior shape media are supported")
+                    ld.medium = ld.convert_medium(sub)
+                    ld.medium_tris.extend(range(t0, len(ld.tris)))
+                elif sub.tag == "ref" and sub.attrib.get("name") == "interior":
+                    ld.medium = ld.medium_ids[sub.attrib["id"]]
+                    ld.medium_tris.extend(range(t0, len(ld.tris)))
         elif tag == "emitter":
             typ = child.attrib["type"]
             p = _props(child, subst)
@@ -563,7 +746,7 @@ def load_xml(path, defaults: dict | None = None):
                 ld.env_radiance = np.asarray(p.get("radiance", [1, 1, 1]), np.float32)
             elif typ == "envmap":
                 from ..io import image as imagelib
-                data = imagelib.read_auto(str(path.parent / p["filename"]))
+                data = imagelib.read_auto(str(base_dir / p["filename"]))
                 ld.env_radiance = None
                 ld.cfg_kw.setdefault("_envmap", data * float(p.get("scale", 1.0)))
             elif typ in ("point", "spot", "directional"):
@@ -595,9 +778,17 @@ def load_xml(path, defaults: dict | None = None):
                 )
                 ld.env_radiance = None
                 ld.cfg_kw.setdefault("_envmap", data)
-        elif tag in ("default", "alias", "include", "null"):
+            else:
+                raise ValueError(f"unsupported emitter plugin '{typ}'")
+        elif tag in ("default", "alias", "null"):
+            # alias only re-binds ids; ids are resolved eagerly here so a
+            # pure alias is a no-op
             pass
+        else:
+            raise ValueError(f"unsupported scene element <{tag}>")
 
+
+def _finish(ld):
     envmap = ld.cfg_kw.pop("_envmap", None)
     if not ld.tris:
         raise ValueError("scene has no shapes")
@@ -620,6 +811,8 @@ def load_xml(path, defaults: dict | None = None):
         scene = scene.replace(
             delta_emitters=ir.build_delta_emitters(ld.delta_emitters)
         )
+    if ld.medium is not None:
+        scene = scene.replace(medium=ld.medium)
     cfg = integ_common.RenderConfig(**ld.cfg_kw)
     if ld.cam is None:
         ld.cam = sensorlib.make_camera([0, 0, -3], [0, 0, 0], width=ld.width,

@@ -205,3 +205,156 @@ def test_envmap_scene(tmp_path):
 """)
     scene, cam, cfg, _ = xmllib.load_xml(p)
     assert scene.envmap is not None and scene.has_env
+
+
+def test_vol_roundtrip(tmp_path):
+    from mitsuba_tpu.io import vol as vollib
+    data = np.random.RandomState(3).uniform(0, 2, (4, 5, 6)).astype(np.float32)
+    vollib.write_vol(tmp_path / "d.vol", data, (-1, -2, -3), (1, 2, 3))
+    back, bmin, bmax = vollib.read_vol(tmp_path / "d.vol")
+    assert np.allclose(back, data)
+    assert np.allclose(bmin, [-1, -2, -3]) and np.allclose(bmax, [1, 2, 3])
+
+
+def test_xml_homogeneous_medium(tmp_path):
+    from mitsuba_tpu.models import medium as medlib, phase as phaselib
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="volpath"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <medium type="homogeneous" id="fog">
+        <rgb name="sigmaS" value="0.5, 0.6, 0.7"/>
+        <rgb name="sigmaA" value="0.1, 0.1, 0.1"/>
+        <phase type="hg"><float name="g" value="0.3"/></phase>
+    </medium>
+    <shape type="cube"/>
+</scene>
+""")
+    scene, cam, cfg, integ = xmllib.load_xml(p)
+    assert integ == "volpath"
+    assert scene.medium is not None
+    assert scene.medium.kind == medlib.MEDIUM_HOMOGENEOUS
+    assert np.allclose(np.asarray(scene.medium.sigma_t), [0.6, 0.7, 0.8])
+    assert float(scene.medium.g) == pytest.approx(0.3)
+
+
+def test_xml_heterogeneous_medium_interior_ref(tmp_path):
+    from mitsuba_tpu.io import vol as vollib
+    from mitsuba_tpu.models import medium as medlib
+    dens = np.random.RandomState(5).uniform(0, 1, (8, 8, 8)).astype(np.float32)
+    vollib.write_vol(tmp_path / "smoke.vol", dens, (0, 0, 0), (1, 1, 1))
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="volpath"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <medium type="heterogeneous" id="smoke">
+        <volume name="density" type="gridvolume">
+            <string name="filename" value="smoke.vol"/>
+        </volume>
+        <float name="scale" value="4.0"/>
+        <rgb name="albedo" value="0.9, 0.9, 0.9"/>
+    </medium>
+    <shape type="cube">
+        <ref name="interior" id="smoke"/>
+    </shape>
+</scene>
+""")
+    scene, cam, cfg, integ = xmllib.load_xml(p)
+    assert scene.medium is not None
+    assert scene.medium.kind == medlib.MEDIUM_GRID
+    assert np.allclose(np.asarray(scene.medium.density), dens)
+    assert np.allclose(np.asarray(scene.medium.sigma_t), 4.0)
+
+
+def test_xml_include(tmp_path):
+    (tmp_path / "frag.xml").write_text("""\
+<scene version="0.6.0">
+    <default name="refl" value="0.25, 0.5, 0.75"/>
+    <bsdf type="diffuse" id="incmat">
+        <rgb name="reflectance" value="$refl"/>
+    </bsdf>
+    <shape type="rectangle"><ref id="incmat"/></shape>
+</scene>
+""")
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="path"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <include filename="frag.xml"/>
+    <shape type="cube"/>
+</scene>
+""")
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    assert scene.num_triangles == 2 + 12  # rectangle from include + cube
+
+
+def test_xml_mask_opacity(tmp_path):
+    from mitsuba_tpu.scene import ir
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="path"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <shape type="rectangle">
+        <bsdf type="mask">
+            <float name="opacity" value="0.3"/>
+            <bsdf type="diffuse"/>
+        </bsdf>
+    </shape>
+</scene>
+""")
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    types = np.asarray(scene.materials.type)
+    assert ir.BSDF_BLEND in types and ir.BSDF_NULL in types
+
+
+def test_xml_rfilter(tmp_path):
+    from mitsuba_tpu.film import film as filmlib
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="path"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+            <rfilter type="gaussian"/>
+        </film>
+    </sensor>
+    <shape type="cube"/>
+</scene>
+""")
+    _, _, cfg, _ = xmllib.load_xml(p)
+    assert cfg.filter == filmlib.FILTER_GAUSSIAN
+
+
+def test_xml_unsupported_raises(tmp_path):
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="path"/>
+    <sensor type="perspective"/>
+    <shape type="cube"/>
+    <subsurfacezzz type="nope"/>
+</scene>
+""")
+    with pytest.raises(ValueError, match="unsupported scene element"):
+        xmllib.load_xml(p)

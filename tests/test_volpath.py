@@ -119,3 +119,113 @@ def test_volpath_fog_darkens_and_scatters():
     assert np.isfinite(foggy).all()
     # absorbing fog removes energy overall
     assert foggy.mean() < clear.mean()
+
+
+def _track_u_factory(seed, n):
+    from mitsuba_tpu.core.rng import uniform
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+
+    def u(j):
+        return uniform(jnp.uint32(seed), lanes, jnp.uint32(0), j)
+    return u
+
+
+def test_ratio_tracking_matches_analytic_constant_density():
+    """Ratio tracking over a constant-density grid must average to the
+    closed-form exp(-sigma_t * dist) (heterogeneous.cpp evalTransmittance
+    unbiasedness)."""
+    n = 1 << 16
+    med = medlib.make_grid(np.ones((2, 2, 2), np.float32), [0.8, 1.5, 3.0],
+                           0.5, box_min=(-10, -10, -10), box_max=(10, 10, 10))
+    o = jnp.zeros((n, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    dist = jnp.full((n,), 1.3)
+    W = medlib.transmittance_track(med, _track_u_factory(7, n), o, d, dist)
+    est = np.asarray(jnp.mean(W, 0))
+    expect = np.exp(-np.asarray(med.sigma_t) * 1.3)
+    assert np.allclose(est, expect, rtol=3e-2), (est, expect)
+
+
+def test_delta_tracking_matches_homogeneous_closed_form():
+    """Weighted delta tracking expectations == the homogeneous closed
+    forms for a constant-density grid."""
+    n = 1 << 16
+    sig = np.asarray([0.5, 1.0, 2.0], np.float32) * 1.1
+    med = medlib.make_grid(np.ones((2, 2, 2), np.float32) * 1.1,
+                           [0.5, 1.0, 2.0], 0.7,
+                           box_min=(-10, -10, -10), box_max=(10, 10, 10))
+    o = jnp.zeros((n, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    t_surf = jnp.full((n,), 1.5)
+    t, is_med, w_med, w_surf = medlib.sample_distance_grid(
+        med, _track_u_factory(11, n), o, d, t_surf)
+    est_surf = np.asarray(jnp.mean(jnp.where(is_med[:, None], 0.0, w_surf), 0))
+    assert np.allclose(est_surf, np.exp(-sig * 1.5), rtol=4e-2)
+    est_med = np.asarray(jnp.mean(jnp.where(is_med[:, None], w_med, 0.0), 0))
+    expect_med = 0.7 * (1 - np.exp(-sig * 1.5))
+    assert np.allclose(est_med, expect_med, rtol=4e-2), (est_med, expect_med)
+
+
+def test_volpath_grid_vacuum_limit_matches_path():
+    """Zero-density grid medium -> volpath surface lanes reproduce path
+    exactly (the grid branch must be a no-op in vacuum)."""
+    from mitsuba_tpu.integrators import common, path, volpath
+    from mitsuba_tpu.scene import builtin
+
+    scene, cam = builtin.cornell_box(width=12, height=12)
+    cfg = common.RenderConfig(spp=16, max_depth=3, seed=0)
+    ref = np.asarray(common.render_jit(scene, cam, path.li, cfg))
+    scene_g = scene.replace(medium=medlib.make_grid(
+        np.zeros((2, 2, 2), np.float32), 1.0, 0.5))
+    img = np.asarray(common.render_jit(scene_g, cam, volpath.li, cfg))
+    assert np.allclose(img, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_volpath_grid_matches_homogeneous_constant_density():
+    """Constant-density grid == homogeneous medium (different estimators,
+    same transport) within MC tolerance."""
+    from mitsuba_tpu.integrators import common, volpath
+    from mitsuba_tpu.scene import builtin
+
+    scene, cam = builtin.cornell_box(width=12, height=12)
+    cfg = common.RenderConfig(spp=128, max_depth=5, seed=3)
+    homo = np.asarray(common.render_jit(
+        scene.replace(medium=medlib.make_homogeneous([0.4] * 3, [0.1] * 3, 0.2)),
+        cam, volpath.li, cfg))
+    grid = np.asarray(common.render_jit(
+        scene.replace(medium=medlib.make_grid(
+            np.ones((4, 4, 4), np.float32), 0.5, 0.8, g=0.2,
+            box_min=(-1, -1, -2), box_max=(2, 2, 2))),
+        cam, volpath.li, cfg))
+    assert np.isfinite(grid).all()
+    rel = abs(grid.mean() - homo.mean()) / homo.mean()
+    assert rel < 0.05, (grid.mean(), homo.mean(), rel)
+
+
+def test_volpath_grid_smoke_moves_with_density():
+    """VERDICT done-criterion: the render must respond to WHERE the
+    density is — a blob on the left vs right flips the sides' optical
+    thickness."""
+    from mitsuba_tpu.integrators import common, volpath
+    from mitsuba_tpu.scene import builtin
+
+    scene, cam = builtin.cornell_box(width=16, height=16)
+    cfg = common.RenderConfig(spp=96, max_depth=5, seed=5)
+
+    def blob(cx):
+        zz, yy, xx = np.meshgrid(*( [np.linspace(0, 1, 16)] * 3), indexing="ij")
+        dens = np.exp(-(((xx - cx) ** 2 + (yy - 0.5) ** 2 + (zz - 0.5) ** 2)
+                        / 0.02)).astype(np.float32) * 4.0
+        return medlib.make_grid(dens, 6.0, 0.2,
+                                box_min=(0, 0, 0), box_max=(1, 1, 1))
+
+    left = np.asarray(common.render_jit(
+        scene.replace(medium=blob(0.22)), cam, volpath.li, cfg))
+    right = np.asarray(common.render_jit(
+        scene.replace(medium=blob(0.78)), cam, volpath.li, cfg))
+    assert np.isfinite(left).all() and np.isfinite(right).all()
+    # the absorbing blob darkens its own half more
+    lh = left[:, :8].mean() / max(left[:, 8:].mean(), 1e-6)
+    rh = right[:, :8].mean() / max(right[:, 8:].mean(), 1e-6)
+    assert lh < rh, (lh, rh)
+    assert np.abs(left - right).max() > 0.01

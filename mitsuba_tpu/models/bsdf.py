@@ -41,6 +41,9 @@ class ShadePoint(NamedTuple):
     k: jax.Array             # (N,3)
     alpha: jax.Array         # (N,2)
     extra: jax.Array         # (N,4)
+    # one-level nested child record (coating adapters); None unless the
+    # scene contains BSDF_COATING rows
+    nested: "ShadePoint | None" = None
 
 
 def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
@@ -80,6 +83,30 @@ def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
     )
     tex_id = jnp.round(texf[:, 0]).astype(jnp.int32)
     refl = tex.resolve(scene, tex_id, uv, refl)
+    nested_sp = None
+    if int(jnp.ndim(mat)) and ir.BSDF_COATING in scene.bsdf_families:
+        # one-level child gather for coating adapters (coating.cpp m_nested)
+        child = jnp.maximum(mats.nested[mat, 0], 0)
+        (ntypef, nrefl, nspec, neta, nkk, nalpha, nextra, ntexf) = fetch_packed(
+            [
+                mats.type[:, None].astype(jnp.float32),
+                mats.reflectance,
+                mats.specular,
+                mats.eta,
+                mats.k,
+                mats.alpha,
+                mats.extra,
+                mats.tex_reflectance[:, None].astype(jnp.float32),
+            ],
+            child,
+        )
+        ntex_id = jnp.round(ntexf[:, 0]).astype(jnp.int32)
+        nrefl = tex.resolve(scene, ntex_id, uv, nrefl)
+        nested_sp = ShadePoint(
+            type=jnp.round(ntypef[:, 0]).astype(jnp.int32),
+            reflectance=nrefl, specular=nspec, eta=neta, k=nkk,
+            alpha=nalpha, extra=nextra,
+        )
     return ShadePoint(
         type=jnp.round(typef[:, 0]).astype(jnp.int32),
         reflectance=refl,
@@ -88,6 +115,7 @@ def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
         k=kk,
         alpha=alpha,
         extra=extra,
+        nested=nested_sp,
     )
 
 
@@ -143,17 +171,18 @@ def _conductor_sample(sp, wi, u_lobe, u2):
 
 
 def _rough_conductor_eval(sp, wi, wo):
-    """src/bsdfs/roughconductor.cpp eval/pdf (isotropic)."""
+    """src/bsdfs/roughconductor.cpp eval/pdf (anisotropic alphaU/alphaV,
+    GGX lanes pdf-matched to VNDF sampling)."""
     ok = _both_sides_pos(wi, wo)
     h = m.normalize(wi + wo)
     dist = sp.extra[..., 3].astype(jnp.int32)
-    alpha = sp.alpha[..., 0]
-    d = mf.d_eval(dist, alpha, h)
-    g = mf.g_eval(dist, alpha, wi, wo, h)
+    au, av = sp.alpha[..., 0], sp.alpha[..., 1]
+    d = mf.d_eval(dist, au, h, av)
+    g = mf.g_eval(dist, au, wi, wo, h, av)
     fr = m.fresnel_conductor(m.dot(wi, h), sp.eta, sp.k) * sp.specular
     ci = jnp.maximum(m.cos_theta(wi), 1e-8)
     f_cos = fr * (d * g / (4.0 * ci))[..., None]
-    pdf = m.safe_div(mf.pdf(dist, alpha, h), 4.0 * jnp.abs(m.dot(wo, h)))
+    pdf = m.safe_div(mf.pdf(dist, au, wi, h, av), 4.0 * jnp.abs(m.dot(wo, h)))
     return (
         jnp.where(ok[..., None], f_cos, 0.0),
         jnp.where(ok, pdf, 0.0),
@@ -162,8 +191,8 @@ def _rough_conductor_eval(sp, wi, wo):
 
 def _rough_conductor_sample(sp, wi, u_lobe, u2):
     dist = sp.extra[..., 3].astype(jnp.int32)
-    alpha = sp.alpha[..., 0]
-    h, _ = mf.sample(dist, alpha, u2)
+    au, av = sp.alpha[..., 0], sp.alpha[..., 1]
+    h, _ = mf.sample(dist, au, wi, u2, av)
     wo = 2.0 * m.dot(wi, h, keepdims=True) * h - wi
     f_cos, pdf = _rough_conductor_eval(sp, wi, wo)
     weight = m.safe_div(f_cos, pdf[..., None])
@@ -368,9 +397,9 @@ def _rough_dielectric_eval(sp, wi, wo):
     h = jnp.where(reflect[..., None], h_r, h_t)
     h = h * jnp.sign(m.cos_theta(h) + 1e-20)[..., None]
 
+    wi_up = wi * jnp.sign(ci)[..., None]
     d_h = mf.d_eval(dist, alpha, h)
-    g = mf.g_eval(dist, alpha, wi * jnp.sign(ci)[..., None],
-                  wo * jnp.sign(co)[..., None], h)
+    g = mf.g_eval(dist, alpha, wi_up, wo * jnp.sign(co)[..., None], h)
     wi_dot_h = m.dot(wi, h)
     wo_dot_h = m.dot(wo, h)
     fr, _, _, _ = m.fresnel_dielectric(wi_dot_h, eta)
@@ -385,7 +414,7 @@ def _rough_dielectric_eval(sp, wi, wo):
     tint = jnp.where(reflect[..., None], sp.specular, sp.reflectance)
     f_cos = tint * jnp.where(reflect, val_r, val_t)[..., None]
 
-    pdf_h = mf.pdf(dist, alpha, h)
+    pdf_h = mf.pdf(dist, alpha, wi_up, h)
     jac_r = m.safe_div(1.0, 4.0 * jnp.abs(wo_dot_h))
     jac_t = m.safe_div(
         (eta_it * eta_it) * jnp.abs(wo_dot_h), sqrt_denom * sqrt_denom
@@ -404,7 +433,8 @@ def _rough_dielectric_sample(sp, wi, u_lobe, u2):
     eta = sp.eta[..., 0]
     dist = sp.extra[..., 3].astype(jnp.int32)
     alpha = sp.alpha[..., 0]
-    h, _ = mf.sample(dist, alpha, u2)
+    wi_up = wi * jnp.sign(m.cos_theta(wi))[..., None]
+    h, _ = mf.sample(dist, alpha, wi_up, u2)
     wi_dot_h = m.dot(wi, h)
     fr, _, _, eta_ti = m.fresnel_dielectric(wi_dot_h, eta)
     pick_reflect = u_lobe <= fr
@@ -446,6 +476,7 @@ def _rough_plastic_eval(sp, wi, wo):
     spec_cos = sp.specular * (
         fr_h * d_h * g / jnp.maximum(4.0 * m.cos_theta(wi), 1e-8)
     )[..., None]
+    pdf_h = mf.pdf(dist, alpha, wi, h)
     # diffuse lobe with internal scattering compensation (plastic.cpp)
     fi, _, _, _ = m.fresnel_dielectric(m.cos_theta(wi), eta)
     fo, _, _, _ = m.fresnel_dielectric(m.cos_theta(wo), eta)
@@ -460,7 +491,7 @@ def _rough_plastic_eval(sp, wi, wo):
     f_cos = spec_cos + diff_cos
     # pdf mixes microfacet and cosine by the fresnel selection weight
     spec_p = jnp.clip(fi, 0.05, 0.95)
-    pdf_spec = m.safe_div(mf.pdf(dist, alpha, h), 4.0 * jnp.abs(m.dot(wo, h)))
+    pdf_spec = m.safe_div(pdf_h, 4.0 * jnp.abs(m.dot(wo, h)))
     pdf = spec_p * pdf_spec + (1.0 - spec_p) * warp.square_to_cosine_hemisphere_pdf(wo)
     return jnp.where(ok[..., None], f_cos, 0.0), jnp.where(ok, pdf, 0.0)
 
@@ -472,7 +503,7 @@ def _rough_plastic_sample(sp, wi, u_lobe, u2):
     fi, _, _, _ = m.fresnel_dielectric(m.cos_theta(wi), eta)
     spec_p = jnp.clip(fi, 0.05, 0.95)
     pick_spec = u_lobe <= spec_p
-    h, _ = mf.sample(dist, alpha, u2)
+    h, _ = mf.sample(dist, alpha, wi, u2)
     wo_s = 2.0 * m.dot(wi, h, keepdims=True) * h - wi
     wo_d = warp.square_to_cosine_hemisphere(u2)
     wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
@@ -560,6 +591,214 @@ def _mask_eval(sp, wi, wo):
     return f * opacity[..., None], pdf * opacity
 
 
+# ---------------------------------------------------------------------------
+# Coating adapter (src/bsdfs/coating.cpp Weidlich-Wilkie smooth dielectric
+# coat; src/bsdfs/roughcoating.cpp when alpha[0] > 0). The nested BSDF is a
+# one-level child record gathered into sp.nested; the coat's eval/pdf/sample
+# refract wi/wo through the dielectric interface and dispatch the nested
+# family set with the bent directions. Record layout:
+#   reflectance = sigmaA * thickness   (coat absorption optical depth)
+#   specular    = specularReflectance  (coat tint)
+#   eta[0]      = coating eta (int/ext)
+#   alpha[0]    = coat roughness (0 = smooth delta coat)
+#   extra[0]    = specularSamplingWeight (1/(avgAbsorption+1), coating.cpp
+#                 configure())
+#   extra[3]    = coat microfacet distribution code
+# ---------------------------------------------------------------------------
+
+def _coat_refract_in(wi, eta):
+    """coating.cpp refractIn: bend into the layer, preserve hemisphere
+    sign; returns (wi', R12). TIR lanes get z'=0 and R=1."""
+    fr, cos_t, _, _ = m.fresnel_dielectric(jnp.abs(m.cos_theta(wi)), eta)
+    inv_eta = 1.0 / eta
+    sign = jnp.where(m.cos_theta(wi) >= 0.0, 1.0, -1.0)
+    wip = jnp.stack([inv_eta * wi[..., 0], inv_eta * wi[..., 1],
+                     sign * jnp.abs(cos_t)], -1)
+    return wip, fr
+
+
+def _coat_refract_out(wop, eta):
+    """coating.cpp refractOut: bend out of the layer; returns (wo, R21)."""
+    fr, cos_t, _, _ = m.fresnel_dielectric(
+        jnp.abs(m.cos_theta(wop)), 1.0 / eta)
+    sign = jnp.where(m.cos_theta(wop) >= 0.0, 1.0, -1.0)
+    wo = jnp.stack([eta * wop[..., 0], eta * wop[..., 1],
+                    sign * jnp.abs(cos_t)], -1)
+    return wo, fr
+
+
+def _coat_prob_specular(sp, r12):
+    w_s = jnp.clip(sp.extra[..., 0], 1e-3, 1.0 - 1e-3)
+    return jnp.clip(
+        m.safe_div(r12 * w_s, r12 * w_s + (1.0 - r12) * (1.0 - w_s)),
+        0.0, 1.0 - 1e-4)
+
+
+def _coating_eval(sp, wi, wo, families):
+    eta = sp.eta[..., 0]
+    inv_eta = 1.0 / eta
+    wip, r12 = _coat_refract_in(wi, eta)
+    wop, r21 = _coat_refract_in(wo, eta)
+    nested_fams = tuple(f for f in families if f != ir.BSDF_COATING)
+    f_n, pdf_n = eval_pdf(sp.nested, wip, wop, nested_fams)
+    aci_p = jnp.maximum(jnp.abs(m.cos_theta(wip)), 1e-6)
+    aco_p = jnp.maximum(jnp.abs(m.cos_theta(wop)), 1e-6)
+    absorb = jnp.exp(-sp.reflectance * (1.0 / aci_p + 1.0 / aco_p)[..., None])
+    compression = inv_eta * inv_eta * m.safe_div(
+        jnp.abs(m.cos_theta(wo)), aco_p)
+    no_tir = (r12 < 1.0 - 1e-6) & (r21 < 1.0 - 1e-6)
+    f = f_n * ((1.0 - r12) * (1.0 - r21) * compression)[..., None] * absorb
+    prob_spec = _coat_prob_specular(sp, r12)
+    pdf = pdf_n * compression * (1.0 - prob_spec)
+    f = jnp.where(no_tir[..., None], f, 0.0)
+    pdf = jnp.where(no_tir, pdf, 0.0)
+
+    # glossy coat lobe for roughcoating lanes (alpha[0] > 0): microfacet
+    # reflection with dielectric Fresnel (roughcoating.cpp eval)
+    alpha_c = sp.alpha[..., 0]
+    rough = alpha_c > 1e-5
+    same_side = m.cos_theta(wi) * m.cos_theta(wo) > 0.0
+    sgn = jnp.where(m.cos_theta(wi) >= 0.0, 1.0, -1.0)[..., None]
+    wi_up, wo_up = wi * sgn, wo * sgn
+    h = m.normalize(wi_up + wo_up)
+    dist = sp.extra[..., 3].astype(jnp.int32)
+    d_h = mf.d_eval(dist, alpha_c, h)
+    g_h = mf.g_eval(dist, alpha_c, wi_up, wo_up, h)
+    fr_h, _, _, _ = m.fresnel_dielectric(m.dot(wi_up, h), eta)
+    f_coat = sp.specular * m.safe_div(
+        fr_h * d_h * g_h, 4.0 * jnp.maximum(m.cos_theta(wi_up), 1e-6)
+    )[..., None]
+    pdf_coat = prob_spec * m.safe_div(
+        mf.pdf(dist, alpha_c, wi_up, h), 4.0 * jnp.abs(m.dot(wo_up, h)))
+    add = rough & same_side
+    f = f + jnp.where(add[..., None], f_coat, 0.0)
+    pdf = pdf + jnp.where(add, pdf_coat, 0.0)
+    return f, pdf
+
+
+def _coating_sample(sp, wi, u_lobe, u2, families):
+    eta = sp.eta[..., 0]
+    inv_eta = 1.0 / eta
+    alpha_c = sp.alpha[..., 0]
+    rough = alpha_c > 1e-5
+    wip, r12 = _coat_refract_in(wi, eta)
+    prob_spec = _coat_prob_specular(sp, r12)
+    pick_spec = u_lobe < prob_spec
+
+    # --- specular coat branch -------------------------------------------
+    # smooth: delta mirror; rough: VNDF microfacet reflection
+    sgn = jnp.where(m.cos_theta(wi) >= 0.0, 1.0, -1.0)[..., None]
+    wi_up = wi * sgn
+    dist = sp.extra[..., 3].astype(jnp.int32)
+    h, _ = mf.sample(dist, jnp.maximum(alpha_c, 1e-4), wi_up, u2)
+    wo_rough = (2.0 * m.dot(wi_up, h, keepdims=True) * h - wi_up) * sgn
+    wo_smooth = m.reflect_local(wi)
+    wo_s = jnp.where(rough[..., None], wo_rough, wo_smooth)
+    w_smooth = sp.specular * m.safe_div(r12, prob_spec)[..., None]
+    f_r, pdf_r = _coating_eval(sp, wi, wo_rough, families)
+    w_rough = m.safe_div(f_r, pdf_r[..., None])
+    rough_ok = (pdf_r > 1e-10) & (m.cos_theta(wi) * m.cos_theta(wo_rough) > 0)
+    w_s = jnp.where(rough[..., None],
+                    jnp.where(rough_ok[..., None],
+                              jnp.clip(w_rough, 0.0, 8.0), 0.0),
+                    w_smooth)
+    pdf_s = jnp.where(rough, pdf_r, prob_spec)
+    delta_s = ~rough
+
+    # --- nested branch ---------------------------------------------------
+    u_n = m.safe_div(u_lobe - prob_spec, 1.0 - prob_spec)
+    nested_fams = tuple(f for f in families if f != ir.BSDF_COATING)
+    wop, w_n, pdf_n, delta_n = sample(sp.nested, wip, u_n, u2, nested_fams)
+    aci_p = jnp.maximum(jnp.abs(m.cos_theta(wip)), 1e-6)
+    aco_p = jnp.maximum(jnp.abs(m.cos_theta(wop)), 1e-6)
+    absorb = jnp.exp(-sp.reflectance * (1.0 / aci_p + 1.0 / aco_p)[..., None])
+    wo_n, r21 = _coat_refract_out(wop, eta)
+    ok_n = (r12 < 1.0 - 1e-6) & (r21 < 1.0 - 1e-6) & (jnp.max(w_n, -1) > 0)
+    # delta-nested lanes (coat over a smooth base): branch weighting
+    w_delta = w_n * absorb * (
+        (1.0 - r12) * (1.0 - r21) / jnp.maximum(1.0 - prob_spec, 1e-6)
+    )[..., None]
+    pdf_delta = pdf_n * (1.0 - prob_spec)
+    # non-delta lanes: one-sample MIS over the combined lobe set — weight
+    # f_total/pdf_total from the same eval the MIS pdf queries use (exact
+    # sample/eval consistency; also folds the rough-coat lobe pdf in)
+    f_e, pdf_e = _coating_eval(sp, wi, wo_n, families)
+    w_eval = m.safe_div(f_e, pdf_e[..., None])
+    w_nested = jnp.where(delta_n[..., None], w_delta,
+                         jnp.where((pdf_e > 1e-12)[..., None],
+                                   jnp.clip(w_eval, 0.0, 16.0), 0.0))
+    pdf_nested = jnp.where(delta_n, pdf_delta, pdf_e)
+    w_nested = jnp.where(ok_n[..., None], w_nested, 0.0)
+    pdf_nested = jnp.where(ok_n, pdf_nested, 0.0)
+
+    wo = jnp.where(pick_spec[..., None], wo_s, wo_n)
+    weight = jnp.where(pick_spec[..., None], w_s, w_nested)
+    pdf = jnp.where(pick_spec, pdf_s, pdf_nested)
+    is_delta = jnp.where(pick_spec, delta_s, delta_n)
+    return wo, weight, pdf, is_delta
+
+
+# ---------------------------------------------------------------------------
+# Hanrahan-Krueger single-scattering slab (src/bsdfs/hk.cpp). Record layout:
+#   reflectance = sigmaS * thickness   (tau_s)
+#   specular    = sigmaA * thickness   (tau_a)
+#   extra[0]    = HG asymmetry g (0 -> isotropic limit)
+# Components: glossy reflection + glossy transmission (single scattering,
+# hk.cpp:229-260) and an attenuated delta transmission (hk.cpp:205).
+# ---------------------------------------------------------------------------
+
+def _hk_terms(sp, wi):
+    from . import phase as phaselib
+    tau_s = jnp.maximum(sp.reflectance, 0.0)
+    tau_d = tau_s + jnp.maximum(sp.specular, 0.0)
+    albedo = m.safe_div(tau_s, jnp.maximum(tau_d, 1e-20))
+    aci = jnp.maximum(m.abs_cos_theta(wi), 1e-6)
+    p_dt = jnp.mean(jnp.exp(-tau_d / aci[..., None]), -1)
+    return phaselib, tau_d, albedo, aci, p_dt
+
+
+def _hk_eval(sp, wi, wo):
+    phaselib, tau_d, albedo, aci, p_dt = _hk_terms(sp, wi)
+    g = sp.extra[..., 0]
+    aco = jnp.maximum(m.abs_cos_theta(wo), 1e-6)
+    phase_val, phase_pdf = phaselib.eval_pdf(phaselib.PHASE_HG, g, wi, wo)
+    # reflection: Hanrahan et al. 93 eq. for a single-scatter slab
+    f_r = albedo * (phase_val * m.safe_div(aci, aci + aco))[..., None] * (
+        1.0 - jnp.exp(-tau_d * (1.0 / aci + 1.0 / aco)[..., None]))
+    # transmission (guard the |ci| == |co| removable singularity)
+    near = jnp.abs(aci - aco) < 1e-4
+    e_i = jnp.exp(-tau_d / aci[..., None])
+    e_o = jnp.exp(-tau_d / aco[..., None])
+    f_t = albedo * phase_val[..., None] * jnp.where(
+        near[..., None],
+        tau_d / aco[..., None] * e_o,
+        m.safe_div(aci, aci - aco)[..., None] * (e_i - e_o))
+    reflect = m.cos_theta(wi) * m.cos_theta(wo) > 0.0
+    f = jnp.where(reflect[..., None], f_r, f_t) * aco[..., None]
+    pdf = phase_pdf * (1.0 - p_dt)
+    return jnp.maximum(f, 0.0), jnp.maximum(pdf, 0.0)
+
+
+def _hk_sample(sp, wi, u_lobe, u2):
+    phaselib, tau_d, albedo, aci, p_dt = _hk_terms(sp, wi)
+    g = sp.extra[..., 0]
+    pick_dt = u_lobe < p_dt
+    # delta transmission: attenuated pass-through
+    wo_dt = -wi
+    w_dt = jnp.exp(-tau_d / aci[..., None]) / jnp.maximum(p_dt, 1e-6)[..., None]
+    # single scattering: phase-function direction
+    wo_p, _ = phaselib.sample(phaselib.PHASE_HG, g, wi, u2)
+    f_p, pdf_p = _hk_eval(sp, wi, wo_p)
+    w_p = m.safe_div(f_p, pdf_p[..., None])
+    ok_p = pdf_p > 1e-10
+    wo = jnp.where(pick_dt[..., None], wo_dt, wo_p)
+    weight = jnp.where(pick_dt[..., None], w_dt,
+                       jnp.where(ok_p[..., None], jnp.clip(w_p, 0.0, 16.0),
+                                 0.0))
+    pdf = jnp.where(pick_dt, p_dt, pdf_p)
+    return wo, weight, pdf, pick_dt
+
+
 def _null_sample(sp, wi, u_lobe, u2):
     """src/bsdfs/null.cpp — pass-through (for mask/medium boundaries)."""
     wo = -wi
@@ -587,6 +826,7 @@ _EVAL = {
     ir.BSDF_DIELECTRIC: _zero_eval,
     ir.BSDF_THIN_DIELECTRIC: _zero_eval,
     ir.BSDF_NULL: _zero_eval,
+    ir.BSDF_HK: _hk_eval,
 }
 
 _SAMPLE = {
@@ -604,18 +844,19 @@ _SAMPLE = {
     ir.BSDF_DIELECTRIC: _dielectric_sample,
     ir.BSDF_THIN_DIELECTRIC: _thin_dielectric_sample,
     ir.BSDF_NULL: _null_sample,
+    ir.BSDF_HK: _hk_sample,
 }
 
 # Families whose sample() is (partly) a delta lobe.
 DELTA_FAMILIES = frozenset(
     [ir.BSDF_CONDUCTOR, ir.BSDF_DIELECTRIC, ir.BSDF_THIN_DIELECTRIC, ir.BSDF_NULL,
-     ir.BSDF_PLASTIC]
+     ir.BSDF_PLASTIC, ir.BSDF_COATING, ir.BSDF_HK]
 )
 
 # Families that can transmit (frame flipping must keep both sides).
 TRANSMISSIVE = frozenset(
     [ir.BSDF_DIELECTRIC, ir.BSDF_THIN_DIELECTRIC, ir.BSDF_NULL,
-     ir.BSDF_DIFFUSE_TRANSMITTER, ir.BSDF_ROUGH_DIELECTRIC]
+     ir.BSDF_DIFFUSE_TRANSMITTER, ir.BSDF_ROUGH_DIELECTRIC, ir.BSDF_HK]
 )
 
 
@@ -638,7 +879,10 @@ def eval_pdf(sp: ShadePoint, wi: jax.Array, wo: jax.Array, families: tuple):
     for fam in families:
         if fam == ir.BSDF_BLEND:
             continue  # adapter: resolved to a child in gather_shade_point
-        fe, fp = _EVAL[fam](sp, wi, wo)
+        if fam == ir.BSDF_COATING:
+            fe, fp = _coating_eval(sp, wi, wo, families)
+        else:
+            fe, fp = _EVAL[fam](sp, wi, wo)
         mask = sp.type == fam
         f = jnp.where(mask[..., None], fe, f)
         pdf = jnp.where(mask, fp, pdf)
@@ -657,7 +901,10 @@ def sample(sp: ShadePoint, wi: jax.Array, u_lobe: jax.Array, u2: jax.Array,
     for fam in families:
         if fam == ir.BSDF_BLEND:
             continue  # adapter: resolved to a child in gather_shade_point
-        fwo, fw, fp, fd = _SAMPLE[fam](sp, wi_f, u_lobe, u2)
+        if fam == ir.BSDF_COATING:
+            fwo, fw, fp, fd = _coating_sample(sp, wi_f, u_lobe, u2, families)
+        else:
+            fwo, fw, fp, fd = _SAMPLE[fam](sp, wi_f, u_lobe, u2)
         mask = sp.type == fam
         wo = jnp.where(mask[..., None], fwo, wo)
         weight = jnp.where(mask[..., None], fw, weight)

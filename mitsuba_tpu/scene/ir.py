@@ -45,6 +45,8 @@ BSDF_MASK = 12
 BSDF_TWO_SIDED = 13
 BSDF_BLEND = 14
 BSDF_DIFFUSE_TRANSMITTER = 15
+BSDF_COATING = 16
+BSDF_HK = 17
 
 # Microfacet distribution sub-codes (microfacet.h EBeckmann/EGGX/EPhong)
 MICROFACET_BECKMANN = 0

@@ -189,3 +189,158 @@ def test_dielectric_energy_split():
     # compression"); reciprocal transport sums to < 1 on average
     wm = np.asarray(w).mean(0)
     assert np.all(wm > 0.4) and np.all(wm <= 1.01), wm
+
+
+# ---------------------------------------------------------------------------
+# Coating (src/bsdfs/coating.cpp) + HK slab (src/bsdfs/hk.cpp)
+# ---------------------------------------------------------------------------
+
+def make_coated_sp(n, coat_rec, nested_rec):
+    mats = ir.Materials.stack([coat_rec, nested_rec])
+
+    def g(field, i):
+        return jnp.broadcast_to(getattr(mats, field)[i],
+                                (n,) + getattr(mats, field)[i].shape)
+
+    nested = bsdflib.ShadePoint(
+        type=g("type", 1), reflectance=g("reflectance", 1),
+        specular=g("specular", 1), eta=g("eta", 1), k=g("k", 1),
+        alpha=g("alpha", 1), extra=g("extra", 1))
+    return bsdflib.ShadePoint(
+        type=g("type", 0), reflectance=g("reflectance", 0),
+        specular=g("specular", 0), eta=g("eta", 0), k=g("k", 0),
+        alpha=g("alpha", 0), extra=g("extra", 0), nested=nested)
+
+
+COAT_SMOOTH = {"type": ir.BSDF_COATING, "reflectance": [0.1, 0.2, 0.3],
+               "eta": [1.5, 1.5, 1.5], "alpha": [0.0, 0.0],
+               "extra": [0.4, 0, 0, ir.MICROFACET_GGX]}
+COAT_ROUGH = {"type": ir.BSDF_COATING, "reflectance": [0.0, 0.0, 0.0],
+              "eta": [1.5, 1.5, 1.5], "alpha": [0.2, 0.2],
+              "extra": [0.4, 0, 0, ir.MICROFACET_GGX]}
+NESTED_RC = {"type": ir.BSDF_ROUGH_CONDUCTOR, "alpha": [0.3, 0.3],
+             "eta": [0.2, 0.92, 1.1], "k": [3.9, 2.45, 2.14],
+             "extra": [0, 0, 0, ir.MICROFACET_GGX]}
+COAT_FAMS = (ir.BSDF_COATING, ir.BSDF_ROUGH_CONDUCTOR)
+
+
+@pytest.mark.parametrize("coat", [COAT_SMOOTH, COAT_ROUGH],
+                         ids=["smooth", "rough"])
+def test_coating_sample_matches_pdf(coat):
+    n = 1 << 18
+
+    def sample_fn(u2):
+        sp = make_coated_sp(u2.shape[0], coat, NESTED_RC)
+        wi = jnp.broadcast_to(WI, (u2.shape[0], 3))
+        u_lobe = jax.random.uniform(jax.random.PRNGKey(99), (u2.shape[0],))
+        wo, w, pdf, is_delta = bsdflib.sample(sp, wi, u_lobe, u2, COAT_FAMS)
+        sample_fn.weights = np.asarray((pdf > 0) & ~is_delta, np.float64)
+        return wo
+
+    def pdf_fn(v):
+        sp = make_coated_sp(v.shape[0], coat, NESTED_RC)
+        wi = jnp.broadcast_to(WI, (v.shape[0], 3))
+        _, pdf = bsdflib.eval_pdf(sp, wi, v, COAT_FAMS)
+        return pdf
+
+    sample_fn(jax.random.uniform(jax.random.PRNGKey(3), (n, 2)))
+    passed, p, stats = spherical_chi2(
+        sample_fn, pdf_fn, n_samples=n, sample_weights=sample_fn.weights,
+        seed=3, significance=0.001)
+    assert passed, f"p={p} {stats}"
+
+
+def test_coating_weight_consistency():
+    n = 4096
+    sp = make_coated_sp(n, COAT_ROUGH, NESTED_RC)
+    wi = jnp.broadcast_to(WI, (n, 3))
+    u2 = jax.random.uniform(jax.random.PRNGKey(5), (n, 2))
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(6), (n,))
+    wo, w, pdf, is_delta = bsdflib.sample(sp, wi, u_lobe, u2, COAT_FAMS)
+    f, pdf2 = bsdflib.eval_pdf(sp, wi, wo, COAT_FAMS)
+    ok = np.asarray((pdf > 1e-3) & ~is_delta)
+    assert ok.sum() > n // 4
+    assert np.asarray(pdf)[ok] == pytest.approx(np.asarray(pdf2)[ok], rel=3e-3)
+    ref = np.asarray(f)[ok] / np.asarray(pdf2)[ok][:, None]
+    w_np = np.asarray(w)[ok]
+    # sampled weights are clipped at 16; compare unclipped lanes
+    unclipped = (w_np < 15.9).all(-1)
+    assert np.allclose(w_np[unclipped], ref[unclipped], rtol=1e-2, atol=1e-3)
+
+
+def test_coating_energy_and_absorption():
+    """Coated conductor reflects less than bare; tinted coat absorbs more;
+    total energy <= 1."""
+    n = 1 << 16
+    wi = jnp.broadcast_to(WI, (n, 3))
+    u2 = jax.random.uniform(jax.random.PRNGKey(7), (n, 2))
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(8), (n,))
+
+    def total(coat_rec):
+        sp = make_coated_sp(n, coat_rec, NESTED_RC)
+        wo, w, pdf, _ = bsdflib.sample(sp, wi, u_lobe, u2, COAT_FAMS)
+        return np.asarray(jnp.mean(jnp.where((pdf > 0)[:, None], w, 0.0), 0))
+
+    clear = dict(COAT_SMOOTH, reflectance=[0.0, 0.0, 0.0])
+    tinted = dict(COAT_SMOOTH, reflectance=[0.5, 0.5, 0.5])
+    t_clear, t_tinted = total(clear), total(tinted)
+    assert np.all(t_clear <= 1.02) and np.all(t_tinted <= 1.02)
+    assert np.all(t_tinted < t_clear)  # absorption removes energy
+    # bare rough copper reflects more than the coated version overall
+    sp_bare = make_sp(n, **NESTED_RC)
+    _, w_b, pdf_b, _ = bsdflib.sample(sp_bare, wi, u_lobe, u2,
+                                      (ir.BSDF_ROUGH_CONDUCTOR,))
+    t_bare = np.asarray(jnp.mean(jnp.where((pdf_b > 0)[:, None], w_b, 0.0), 0))
+    assert t_tinted.mean() < t_bare.mean()
+
+
+HK_REC = {"type": ir.BSDF_HK, "reflectance": [0.4, 0.8, 1.2],
+          "specular": [0.1, 0.1, 0.1], "extra": [0.3, 0, 0, 0]}
+
+
+def test_hk_sample_matches_pdf():
+    n = 1 << 18
+
+    def sample_fn(u2):
+        sp = make_sp(u2.shape[0], **HK_REC)
+        wi = jnp.broadcast_to(WI, (u2.shape[0], 3))
+        u_lobe = jax.random.uniform(jax.random.PRNGKey(99), (u2.shape[0],))
+        wo, w, pdf, is_delta = bsdflib.sample(sp, wi, u_lobe, u2,
+                                              (ir.BSDF_HK,))
+        sample_fn.weights = np.asarray((pdf > 0) & ~is_delta, np.float64)
+        return wo
+
+    def pdf_fn(v):
+        sp = make_sp(v.shape[0], **HK_REC)
+        wi = jnp.broadcast_to(WI, (v.shape[0], 3))
+        _, pdf = bsdflib.eval_pdf(sp, wi, v, (ir.BSDF_HK,))
+        return pdf
+
+    sample_fn(jax.random.uniform(jax.random.PRNGKey(3), (n, 2)))
+    passed, p, stats = spherical_chi2(
+        sample_fn, pdf_fn, n_samples=n, sample_weights=sample_fn.weights,
+        seed=3, significance=0.001)
+    assert passed, f"p={p} {stats}"
+
+
+def test_hk_limits():
+    """tauD -> 0: pure attenuated (here lossless) delta transmission;
+    energy conservation for the scattering slab (hk.cpp:106 note)."""
+    n = 1 << 14
+    wi = jnp.broadcast_to(WI, (n, 3))
+    u2 = jax.random.uniform(jax.random.PRNGKey(9), (n, 2))
+    u_lobe = jax.random.uniform(jax.random.PRNGKey(10), (n,))
+    thin = make_sp(n, type=ir.BSDF_HK, reflectance=[0, 0, 0],
+                   specular=[0, 0, 0])
+    wo, w, pdf, is_delta = bsdflib.sample(thin, wi, u_lobe, u2, (ir.BSDF_HK,))
+    assert bool(jnp.all(is_delta))
+    assert np.allclose(np.asarray(wo), np.asarray(-wi), atol=1e-6)
+    assert np.allclose(np.asarray(w), 1.0, atol=1e-5)
+    # purely scattering slab: total outgoing energy <= 1 (single-scatter
+    # model discards multiple scattering, so strictly < 1)
+    scat = make_sp(n, type=ir.BSDF_HK, reflectance=[1.5, 1.5, 1.5],
+                   specular=[0, 0, 0], extra=[0.0, 0, 0, 0])
+    wo, w, pdf, is_delta = bsdflib.sample(scat, wi, u_lobe, u2, (ir.BSDF_HK,))
+    total = np.asarray(jnp.mean(jnp.where((pdf > 0)[:, None], w, 0.0), 0))
+    assert np.all(total <= 1.0 + 1e-3), total
+    assert np.all(total > 0.3)

@@ -161,9 +161,12 @@ def any_hit(scene, bvh: BVH, o, d, tmax) -> jax.Array:
         box_hit = _slab_test(bmin, bmax, o, inv_d, limit) & live
         is_leaf = nsafe >= n_int
         leaf_id = nsafe - n_int
-        p0, e1, e2, _ = _leaf_tris(scene, bvh, leaf_id)
+        p0, e1, e2, tsafe = _leaf_tris(scene, bvh, leaf_id)
         t, _, _, hit = _tri_hits(o, d, p0, e1, e2)
         hit = hit & (t < limit[:, None]) & (box_hit & is_leaf)[:, None]
+        if scene.has_null:
+            # null-interface (medium boundary) tris don't block shadows
+            hit = hit & scene.tri_opaque[tsafe]
         blocked = blocked | jnp.any(hit, axis=1)
 
         descend = box_hit & ~is_leaf

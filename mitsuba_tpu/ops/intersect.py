@@ -338,7 +338,11 @@ def occluded_brute(
     n = o.shape[0]
     limit = tmax * (1.0 - SHADOW_EPS)
     backend = _pick_backend(scene)
-    if backend == "pallas":
+    # null-interface triangles (medium boundaries) must not block shadow
+    # rays; the fused pallas kernel has no opacity input, so such scenes
+    # take the maskable XLA path
+    has_null = scene is not None and scene.has_null
+    if backend == "pallas" and not has_null:
         from . import pallas_intersect
 
         return pallas_intersect.any_hit(scene, o, d, tmax, chunk)
@@ -355,9 +359,20 @@ def occluded_brute(
         def chunk_t(base):
             return _chunk_hits(oc, dc, tri_comps, base, chunk, limit, limit)
 
+    if has_null:
+        t_tris = scene.num_triangles
+        pad = (-t_tris) % chunk
+        opaque_pad = jnp.concatenate(
+            [scene.tri_opaque, jnp.ones((pad,), bool)]) if pad \
+            else scene.tri_opaque
+
     def body(blocked, base):
         t = chunk_t(base)
-        return blocked | jnp.any(t < MISS, axis=1), None
+        hits = t < MISS
+        if has_null:
+            op = jax.lax.dynamic_slice(opaque_pad, (base,), (chunk,))
+            hits = hits & op[None, :]
+        return blocked | jnp.any(hits, axis=1), None
 
     init = jnp.zeros((n,), bool)
     if nchunks == 1:

@@ -243,6 +243,11 @@ class Scene:
     # Occupancy-map approximate visibility (None = exact; ops/occupancy.py)
     occupancy: Any = None
 
+    # (T,) bool: False for index-matched null-BSDF interface triangles
+    # (medium boundaries) which must not block shadow rays
+    # (scene.cpp attenuated shadow rays / mask.cpp transparency analog)
+    tri_opaque: Any = None
+
     # Static metadata
     # Power-weighted (area, env, delta) emitter-group selection probs
     # (models/emitter.compute_group_probs; empty = uniform over present
@@ -255,6 +260,9 @@ class Scene:
     # any material carries a normal/bump map (gates the perturbation code
     # in ops/intersect.surface_interaction so plain scenes compile none of it)
     has_perturb: bool = struct.field(pytree_node=False, default=False)
+    # any null-BSDF triangles present (gates the shadow-transparency
+    # masking so ordinary scenes compile none of it)
+    has_null: bool = struct.field(pytree_node=False, default=False)
     aux: Any = struct.field(pytree_node=False, default=None)
 
     # ------------------------------------------------------------------
@@ -410,6 +418,12 @@ def build_scene(
         tex_transform = jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32)
         tex_nearest = jnp.zeros((1,), jnp.int32)
 
+    mat_types = np.asarray(
+        [int(r.get("type", BSDF_DIFFUSE)) for r in materials] or [BSDF_DIFFUSE],
+        np.int32)
+    tri_opaque_np = mat_types[np.clip(tri_material, 0, len(mat_types) - 1)] \
+        != BSDF_NULL
+
     return Scene(
         vertices=jnp.asarray(vertices),
         indices=jnp.asarray(indices),
@@ -417,6 +431,8 @@ def build_scene(
         uvs=jnp.asarray(uvs.astype(np.float32)),
         tri_material=jnp.asarray(tri_material),
         tri_emitter=jnp.asarray(tri_emitter),
+        tri_opaque=jnp.asarray(tri_opaque_np),
+        has_null=bool((~tri_opaque_np).any()),
         materials=mats,
         emitters=emitters,
         env_radiance=env,

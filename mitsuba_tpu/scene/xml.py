@@ -255,6 +255,43 @@ class _Loader:
             self.medium_ids[node.attrib["id"]] = med
         return med
 
+    def attach_interior(self, node, med, t0):
+        """Bind `med` as the interior of the shape whose triangles are
+        [t0, len(tris)). Per-shape media compile to SPATIAL density
+        fields (scene/voxelize.py) instead of per-ray medium pointers
+        (medium.h:103): homogeneous interiors are voxelized into a grid
+        over the shape volume so delta/ratio tracking respects the
+        boundary statelessly; the boundary itself defaults to an
+        index-matched null interface when no BSDF is given (shape.h
+        interior-medium semantics)."""
+        import jax.numpy as jnp
+        from ..models import medium as medlib
+        from . import voxelize as voxlib
+
+        t1 = len(self.tris)
+        has_bsdf = any(
+            s.tag == "bsdf" or (s.tag == "ref" and "name" not in s.attrib)
+            for s in node)
+        if not has_bsdf:
+            null_id = len(self.materials)
+            self.materials.append({"type": ir.BSDF_NULL})
+            for i in range(t0, t1):
+                self.tri_mat[i] = null_id
+        if med.kind == medlib.MEDIUM_HOMOGENEOUS:
+            tris = np.asarray(self.tris[t0:t1], np.int64)
+            verts = np.asarray(self.verts, np.float64)
+            dens, lo, hi = voxlib.voxelize(verts, tris, res=48)
+            med = medlib.Medium(
+                sigma_t=med.sigma_t, albedo=med.albedo, g=med.g,
+                density=jnp.asarray(dens), box_min=jnp.asarray(lo),
+                box_max=jnp.asarray(hi), kind=medlib.MEDIUM_GRID,
+                phase=med.phase)
+        if self.medium is not None and self.medium is not med:
+            raise ValueError(
+                "only one participating medium per scene is supported")
+        self.medium = med
+        self.medium_tris.extend(range(t0, t1))
+
     # --- textures ------------------------------------------------------
     def load_texture(self, node) -> int:
         from ..models import texture as texlib
@@ -716,7 +753,11 @@ def _process_children(root, ld, subst, base_dir):
         elif tag == "bsdf":
             ld.convert_bsdf(child)
         elif tag == "medium":
-            ld.medium = ld.convert_medium(child)
+            # id-less scene-level medium = global (camera-immersed);
+            # an id makes it a declaration for <ref name="interior"/>
+            med = ld.convert_medium(child)
+            if "id" not in child.attrib:
+                ld.medium = med
         elif tag == "include":
             inc_path = base_dir / child.attrib["filename"]
             inc_root = ET.parse(inc_path).getroot()
@@ -729,16 +770,17 @@ def _process_children(root, ld, subst, base_dir):
         elif tag == "shape":
             t0 = len(ld.tris)
             ld.convert_shape(child)
+            interior = None
             for sub in child:
                 if sub.tag == "medium":
                     if sub.attrib.get("name", "interior") != "interior":
                         raise ValueError(
                             "only interior shape media are supported")
-                    ld.medium = ld.convert_medium(sub)
-                    ld.medium_tris.extend(range(t0, len(ld.tris)))
+                    interior = ld.convert_medium(sub)
                 elif sub.tag == "ref" and sub.attrib.get("name") == "interior":
-                    ld.medium = ld.medium_ids[sub.attrib["id"]]
-                    ld.medium_tris.extend(range(t0, len(ld.tris)))
+                    interior = ld.medium_ids[sub.attrib["id"]]
+            if interior is not None:
+                ld.attach_interior(child, interior, t0)
         elif tag == "emitter":
             typ = child.attrib["type"]
             p = _props(child, subst)

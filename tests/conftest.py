@@ -3,19 +3,52 @@ multi-chip sharding (parallel/) is exercised without TPU hardware —
 the analog of the reference testing cluster paths via loopback mtssrv
 (src/mitsuba/mtssrv.cpp:202).
 
+TPU-resident smoke subset: tests marked `@pytest.mark.tpu` are skipped in
+the default (CPU) run and executed on the real chip with
+
+    MITSUBA_TPU_TESTS=1 python -m pytest -m tpu tests/
+
+which leaves the platform on the tunneled TPU backend (first compile of a
+new program over the tunnel is minutes — keep the subset tiny).
+
 NOTE: the JAX_PLATFORMS env var is overridden by the environment's PJRT
 bootstrap (sitecustomize registers the TPU plugin); jax.config.update is
 the reliable way to pin the platform.
 """
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_mitsuba_tpu")
+import pytest
+
+TPU_RUN = os.environ.get("MITSUBA_TPU_TESTS", "") == "1"
+
+if not TPU_RUN:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_cache_mitsuba_tpu")
+else:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_cache_mitsuba_tpu")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_RUN:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on the real TPU chip (MITSUBA_TPU_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_RUN:
+        return
+    skip = pytest.mark.skip(reason="TPU-resident test (MITSUBA_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

@@ -29,6 +29,8 @@ SAMPLER_STRATIFIED = 1
 SAMPLER_HALTON = 2
 SAMPLER_LD = 3
 SAMPLER_HAMMERSLEY = 4
+SAMPLER_SOBOL = 5
+SAMPLER_FAURE = 6
 
 _U32 = jnp.uint32
 
@@ -144,6 +146,46 @@ def sample_dim(kind: int, seed, pixel, sample, dim, spp: int = 0) -> jax.Array:
         else:
             d = int(dim - 1) % len(_PRIMES)
             v = radical_inverse(jnp.uint32(_PRIMES[d]), sample)
+        return jnp.mod(v + rot, 1.0)
+
+    if kind == SAMPLER_SOBOL:
+        # High-dimensional Sobol' (sobol.cpp + sobolseq.cpp analog): the
+        # direction-number row for this (static) dimension is baked into
+        # the program as a constant; per-(pixel, dim) Owen-style XOR
+        # scrambling decorrelates pixels.
+        from . import sobol as sobollib
+
+        row = jnp.asarray(
+            sobollib.direction_numbers()[int(dim) % sobollib.SOBOL_DIMS])
+        scramble = hash_u32(seed, pixel, jnp.uint32(0x50B01), dim)
+        n0 = sample.astype(_U32)
+
+        def body(i, carry):
+            n_c, res_c = carry
+            res_c = jnp.where((n_c & _U32(1)) == 1, res_c ^ row[i], res_c)
+            return n_c >> 1, res_c
+
+        _, res = jax.lax.fori_loop(0, 32, body,
+                                   (n0, scramble.astype(_U32)))
+        return u32_to_uniform(res)
+
+    if kind == SAMPLER_FAURE:
+        # Generalized Faure: Pascal-matrix digit scrambling in a prime
+        # base >= ndims (16 here), + per-(pixel, dim) CP rotation.
+        from . import sobol as sobollib
+
+        b, mats = sobollib.faure_tables(16)
+        c = jnp.asarray(mats[int(dim) % 16].T, jnp.float32)  # (D, D)
+        n0 = sample.astype(jnp.int32)
+        ds = []
+        for _ in range(16):
+            ds.append((n0 % b).astype(jnp.float32))
+            n0 = n0 // b
+        digits = jnp.stack(ds, -1)                            # (N, D)
+        y = jnp.mod(digits @ c, float(b))                     # (N, D)
+        w = (1.0 / b) ** jnp.arange(1, 17, dtype=jnp.float32)
+        v = jnp.minimum(y @ w, 1.0 - 1e-7)
+        rot = u32_to_uniform(hash_u32(seed, pixel, jnp.uint32(0xFA4E), dim))
         return jnp.mod(v + rot, 1.0)
 
     raise ValueError(f"unknown sampler kind {kind}")

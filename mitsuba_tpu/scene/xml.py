@@ -678,7 +678,8 @@ class _Loader:
                 sp = _props(child, self.subst)
                 spp = int(sp.get("sampleCount", 16))
                 kind_map = {"independent": 0, "stratified": 1, "halton": 2,
-                            "ldsampler": 3, "sobol": 3, "hammersley": 2}
+                            "ldsampler": 3, "sobol": 5, "hammersley": 4,
+                            "faure": 6}
                 self.cfg_kw["sampler"] = kind_map.get(child.attrib.get("type"), 0)
         self.cfg_kw["spp"] = spp
         fov_axis = p.get("fovAxis", "x")

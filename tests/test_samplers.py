@@ -90,3 +90,55 @@ def test_render_with_ld_sampler_converges_faster():
             common.RenderConfig(spp=16, max_depth=2, seed=7, sampler=kind)))
         errs[kind] = np.abs(img - ref).mean()
     assert errs[qmc.SAMPLER_LD] < errs[qmc.SAMPLER_INDEPENDENT], errs
+
+
+@pytest.mark.parametrize("dim", [0, 1, 2, 7, 63, 511])
+def test_sobol_highdim_stratification(dim):
+    """Every dimension of the constructed Sobol' sequence is (0,1)-
+    equidistributed: n=256 unscrambled-index points fill all 256 strata
+    (sobolseq.cpp direction-number property)."""
+    n = 256
+    u = get(qmc.SAMPLER_SOBOL, n, dim=dim)
+    assert np.all(u >= 0.0) and np.all(u < 1.0)
+    strata = np.floor(u * n).astype(int)
+    assert len(np.unique(strata)) == n, dim
+
+
+@pytest.mark.parametrize("dim", [0, 5, 100])
+def test_sobol_star_discrepancy(dim):
+    n = 1024
+    u = np.sort(get(qmc.SAMPLER_SOBOL, n, dim=dim))
+    i = np.arange(1, n + 1)
+    disc = np.max(np.maximum(np.abs(u - i / n), np.abs(u - (i - 1) / n)))
+    assert disc < 0.02, (dim, disc)
+
+
+def test_sobol_consecutive_pair_2d():
+    """(dim0, dim1) of the constructed matrices form the classic
+    VDC/Sobol2 (0,2)-pair: 256 points fill a 16x16 stratification."""
+    n = 256
+    x = get(qmc.SAMPLER_SOBOL, n, dim=0)
+    y = get(qmc.SAMPLER_SOBOL, n, dim=1)
+    cells = set(zip(np.floor(x * 16).astype(int),
+                    np.floor(y * 16).astype(int)))
+    assert len(cells) == 256
+
+
+def test_sobol_pixel_decorrelation():
+    a = get(qmc.SAMPLER_SOBOL, 128, pixel=1, dim=4)
+    b = get(qmc.SAMPLER_SOBOL, 128, pixel=2, dim=4)
+    assert not np.allclose(a, b)
+
+
+def test_faure_range_and_uniformity():
+    from mitsuba_tpu.samplers.sobol import faure_tables
+    b, _ = faure_tables(16)  # smallest prime >= 16, i.e. 17
+    n = b * b  # base^2 points fill base strata with exactly b each
+    for dim in (0, 1, 5):
+        u = get(qmc.SAMPLER_FAURE, n, dim=dim)
+        assert np.all(u >= 0.0) and np.all(u < 1.0)
+        # counts per 1/b bin: exact stratification up to float boundary
+        # rounding at the CP-rotated bin edges (+-2)
+        counts = np.bincount(np.floor(u * b).astype(int), minlength=b)
+        assert counts.max() - counts.min() <= 4, (dim, counts)
+        assert counts.min() >= b - 2

@@ -43,6 +43,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: runs on the real TPU chip (MITSUBA_TPU_TESTS=1)")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests")
 
 
 def pytest_collection_modifyitems(config, items):

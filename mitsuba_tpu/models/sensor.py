@@ -22,6 +22,11 @@ SENSOR_PERSPECTIVE = 0
 SENSOR_THINLENS = 1
 SENSOR_ORTHOGRAPHIC = 2
 SENSOR_SPHERICAL = 3
+SENSOR_TELECENTRIC = 4       # src/sensors/telecentric.cpp
+SENSOR_RDIST = 5             # src/sensors/perspective_rdist.cpp
+SENSOR_RADIANCEMETER = 6     # src/sensors/radiancemeter.cpp
+SENSOR_FLUENCEMETER = 7      # src/sensors/fluencemeter.cpp
+SENSOR_IRRADIANCEMETER = 8   # src/sensors/irradiancemeter.cpp
 
 
 @struct.dataclass
@@ -33,6 +38,7 @@ class Camera:
     fov_x: jax.Array        # scalar, degrees
     aperture: jax.Array     # scalar lens radius (thinlens.cpp)
     focus_dist: jax.Array   # scalar
+    kc: jax.Array = None    # (2,) radial distortion (perspective_rdist.cpp)
     width: int = struct.field(pytree_node=False, default=256)
     height: int = struct.field(pytree_node=False, default=256)
     kind: int = struct.field(pytree_node=False, default=SENSOR_PERSPECTIVE)
@@ -58,12 +64,14 @@ def look_at(origin, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
 
 
 def make_camera(origin, target, up=(0, 1, 0), fov_x=39.0, width=256, height=256,
-                kind=SENSOR_PERSPECTIVE, aperture=0.0, focus_dist=1.0) -> Camera:
+                kind=SENSOR_PERSPECTIVE, aperture=0.0, focus_dist=1.0,
+                kc=(0.0, 0.0)) -> Camera:
     return Camera(
         to_world=jnp.asarray(look_at(origin, target, up)),
         fov_x=jnp.float32(fov_x),
         aperture=jnp.float32(aperture),
         focus_dist=jnp.float32(focus_dist),
+        kc=jnp.asarray(kc, jnp.float32),
         width=int(width),
         height=int(height),
         kind=int(kind),
@@ -87,7 +95,22 @@ def sample_rays(cam: Camera, px: jax.Array, py: jax.Array, u_lens: jax.Array):
     tan_half = jnp.tan(0.5 * jnp.deg2rad(cam.fov_x))
     aspect = h / w
 
-    if cam.kind in (SENSOR_PERSPECTIVE, SENSOR_THINLENS):
+    imp = jnp.ones((n,), jnp.float32)
+    if cam.kind in (SENSOR_PERSPECTIVE, SENSOR_THINLENS, SENSOR_RDIST):
+        if cam.kind == SENSOR_RDIST:
+            # perspective_rdist.cpp: the stored image is distorted by
+            # r' = r (1 + kc0 r^2 + kc1 r^4); invert per ray with Newton
+            # iterations to find the undistorted film point
+            r_d = jnp.sqrt(sx * sx + (sy * aspect) ** 2) + 1e-12
+            r_u = r_d
+            for _ in range(4):
+                f = r_u * (1.0 + cam.kc[0] * r_u ** 2
+                           + cam.kc[1] * r_u ** 4) - r_d
+                fp = 1.0 + 3.0 * cam.kc[0] * r_u ** 2 + 5.0 * cam.kc[1] * r_u ** 4
+                r_u = r_u - f / jnp.maximum(fp, 1e-6)
+            scale = r_u / r_d
+            sx = sx * scale
+            sy = sy * scale
         d_cam = jnp.stack(
             [sx * tan_half, sy * tan_half * aspect, jnp.ones_like(sx)], axis=-1
         )
@@ -99,6 +122,36 @@ def sample_rays(cam: Camera, px: jax.Array, py: jax.Array, u_lens: jax.Array):
             o_cam = jnp.concatenate([lens, jnp.zeros((n, 1))], axis=-1)
             d_cam = focus_p - o_cam
         d_cam = m.normalize(d_cam)
+    elif cam.kind == SENSOR_TELECENTRIC:
+        # telecentric.cpp: orthographic chief rays + per-pixel aperture
+        # disk, refocused at the focus plane
+        extent = cam.fov_x  # world-units half-width (like orthographic)
+        film_p = jnp.stack(
+            [sx * extent, sy * extent * aspect, jnp.zeros_like(sx)], -1)
+        lens = warp.square_to_uniform_disk_concentric(u_lens) * cam.aperture
+        o_cam = film_p + jnp.concatenate([lens, jnp.zeros((n, 1))], -1)
+        focus_p = film_p + jnp.asarray([0.0, 0.0, 1.0]) * cam.focus_dist
+        d_cam = m.normalize(focus_p - o_cam)
+    elif cam.kind == SENSOR_RADIANCEMETER:
+        # radiancemeter.cpp: one ray along the sensor axis
+        o_cam = jnp.zeros((n, 3))
+        d_cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    elif cam.kind == SENSOR_FLUENCEMETER:
+        # fluencemeter.cpp: fluence = integral of L over the full sphere;
+        # uniform-sphere sampling with importance 4*pi
+        z = 1.0 - 2.0 * u_lens[..., 0]
+        r_ = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi_ = 2.0 * jnp.pi * u_lens[..., 1]
+        d_cam = jnp.stack([r_ * jnp.cos(phi_), r_ * jnp.sin(phi_), z], -1)
+        o_cam = jnp.zeros((n, 3))
+        imp = jnp.full((n,), 4.0 * jnp.pi, jnp.float32)
+    elif cam.kind == SENSOR_IRRADIANCEMETER:
+        # irradiancemeter.cpp: E = integral of L cos(theta) over the +z
+        # hemisphere; cosine sampling cancels the cosine -> importance pi
+        local = warp.square_to_cosine_hemisphere(u_lens)
+        d_cam = local
+        o_cam = jnp.zeros((n, 3))
+        imp = jnp.full((n,), jnp.pi, jnp.float32)
     elif cam.kind == SENSOR_ORTHOGRAPHIC:
         # orthographic.cpp: parallel rays along +z; fov_x reused as film extent
         extent = cam.fov_x  # world-units half-width
@@ -117,7 +170,7 @@ def sample_rays(cam: Camera, px: jax.Array, py: jax.Array, u_lens: jax.Array):
     rot = cam.to_world[:3, :3]
     o = o_cam @ rot.T + cam.to_world[:3, 3]
     d = m.normalize(d_cam @ rot.T)
-    return o, d, jnp.ones((n,), jnp.float32)
+    return o, d, imp
 
 
 def world_to_raster(cam: Camera, p: jax.Array):

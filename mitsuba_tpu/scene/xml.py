@@ -687,19 +687,31 @@ class _Loader:
             # convert to fov_x (sensor.py uses x)
             aspect = self.width / self.height
             fov = np.rad2deg(2 * np.arctan(np.tan(np.deg2rad(fov / 2)) * aspect))
-        kind = {"perspective": sensorlib.SENSOR_PERSPECTIVE,
-                "thinlens": sensorlib.SENSOR_THINLENS,
-                "orthographic": sensorlib.SENSOR_ORTHOGRAPHIC,
-                "spherical": sensorlib.SENSOR_SPHERICAL}.get(typ, 0)
+        kinds = {"perspective": sensorlib.SENSOR_PERSPECTIVE,
+                 "thinlens": sensorlib.SENSOR_THINLENS,
+                 "orthographic": sensorlib.SENSOR_ORTHOGRAPHIC,
+                 "spherical": sensorlib.SENSOR_SPHERICAL,
+                 "telecentric": sensorlib.SENSOR_TELECENTRIC,
+                 "perspective_rdist": sensorlib.SENSOR_RDIST,
+                 "radiancemeter": sensorlib.SENSOR_RADIANCEMETER,
+                 "fluencemeter": sensorlib.SENSOR_FLUENCEMETER,
+                 "irradiancemeter": sensorlib.SENSOR_IRRADIANCEMETER}
+        if typ not in kinds:
+            raise ValueError(f"unsupported sensor plugin '{typ}'")
+        kc = [0.0, 0.0]
+        if "kc" in p:
+            kc = [float(x) for x in
+                  str(p["kc"]).replace(",", " ").split()][:2]
         import jax.numpy as jnp
         self.cam = sensorlib.Camera(
             to_world=jnp.asarray(to_world),
             fov_x=jnp.float32(fov),
             aperture=jnp.float32(p.get("apertureRadius", 0.0)),
             focus_dist=jnp.float32(p.get("focusDistance", 1.0)),
+            kc=jnp.asarray(kc, jnp.float32),
             width=self.width,
             height=self.height,
-            kind=kind,
+            kind=kinds[typ],
         )
 
     def convert_integrator(self, node):

@@ -19,14 +19,23 @@ from .intersect import BARY_EPS, Intersection, SHADOW_EPS
 
 
 def _slab_test(bmin, bmax, o, inv_d, t_best):
-    """Ray-AABB slab test. All args (N,3)/(N,). Returns hit mask (N,)."""
+    """Ray-AABB slab test. All args (N,3)/(N,). Returns hit mask (N,).
+
+    The per-axis min/max swap erases box inversion, so EMPTY padding
+    nodes (bmin=+big, bmax=-big) would register as hits for every ray —
+    on a heavily padded tree (power-of-two leaf cap) that degenerates
+    traversal into visiting every pad leaf (round-2 bunny pathology:
+    ~15k wasted node visits per ray, 100x slowdown + tunnel timeouts).
+    The explicit validity term culls them."""
     t0 = (bmin - o) * inv_d
     t1 = (bmax - o) * inv_d
     tmin = jnp.minimum(t0, t1)
     tmax = jnp.maximum(t0, t1)
     t_enter = jnp.max(tmin, axis=-1)
     t_exit = jnp.min(tmax, axis=-1)
-    return (t_enter <= t_exit) & (t_exit > SHADOW_EPS) & (t_enter < t_best)
+    valid = bmin[..., 0] <= bmax[..., 0]
+    return (t_enter <= t_exit) & (t_exit > SHADOW_EPS) & (t_enter < t_best) \
+        & valid
 
 
 def _leaf_tris(scene, bvh: BVH, leaf_id):

@@ -33,19 +33,45 @@ MISS_F = 2.0 ** 127
 MISS_BITS = 0x7F000000  # float32 bit pattern of 2^127
 
 
-def _kernel(nchunks, chunk, phi_ref, tmax_ref, w_ref, key_ref, base_ref):
+# triangle 128-chunks processed per grid step (VMEM block: 16 x 4*SUB*chunk
+# floats = 128 KB at chunk=128, SUB=4)
+SUB = 4
+
+
+def _kernel(chunk, phi_ref, tmax_ref, w_ref, key_ref, base_ref,
+            acc_key, acc_base):
+    """One (ray-tile, triangle-block) grid cell. The triangle axis is the
+    innermost sequential grid dimension; the running best lives in VMEM
+    scratch accumulators (persist across sequential grid steps — the
+    canonical Mosaic reduction pattern; revisited *output* blocks proved
+    unreliable on the real chip) and is flushed to the outputs on the
+    last triangle step. Constant compile size and VMEM footprint for any
+    triangle count, unlike the former fully-unrolled python loop (which
+    at 69k tris emitted a 543-block kernel that effectively never
+    finished compiling)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
     phi = phi_ref[:]                      # (TILE, 16)
     tmax = tmax_ref[:]                    # (TILE, 1)
     lane_mask = jnp.int32(I.LANE_MASK)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, chunk), 1)
     miss_key = MISS_BITS | I.LANE_MASK
 
-    best_key = jnp.full((TILE, 1), miss_key, jnp.int32)
-    best_base = jnp.zeros((TILE, 1), jnp.int32)
-    for ci in range(nchunks):
-        # one (TILE,16)@(16,4C) MXU pass: [det | t | u | v] blocks
-        out = jnp.dot(phi, w_ref[:, ci * 4 * chunk:(ci + 1) * 4 * chunk],
-                      preferred_element_type=jnp.float32)
+    @pl.when(k == 0)
+    def _init():
+        acc_key[:] = jnp.full((TILE, 1), miss_key, jnp.int32)
+        acc_base[:] = jnp.zeros((TILE, 1), jnp.int32)
+
+    best_key = acc_key[:]
+    best_base = acc_base[:]
+    for s in range(SUB):
+        # one (TILE,16)@(16,4C) MXU pass: [det | t | u | v] blocks.
+        # HIGHEST: f32 via multi-pass MXU — the default single bf16 pass
+        # loses ~8 mantissa bits, which breaks Moller-Trumbore on meshes
+        # with small triangles (bunny: 16% of closest hits wrong)
+        out = jnp.dot(phi, w_ref[:, s * 4 * chunk:(s + 1) * 4 * chunk],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         det = out[:, 0 * chunk:1 * chunk]
         t_num = out[:, 1 * chunk:2 * chunk]
         u_num = out[:, 2 * chunk:3 * chunk]
@@ -66,16 +92,28 @@ def _kernel(nchunks, chunk, phi_ref, tmax_ref, w_ref, key_ref, base_ref):
         ckey = jnp.min(key, axis=1, keepdims=True)
         better = ckey < best_key
         best_key = jnp.where(better, ckey, best_key)
-        best_base = jnp.where(better, jnp.int32(ci * chunk), best_base)
-    key_ref[:] = best_key
-    base_ref[:] = best_base
+        best_base = jnp.where(better, (k * SUB + s) * chunk, best_base)
+    acc_key[:] = best_key
+    acc_base[:] = best_base
+
+    @pl.when(k == nk - 1)
+    def _flush():
+        key_ref[:] = acc_key[:]
+        base_ref[:] = acc_base[:]
 
 
 def _run(scene, o, d, tmax, chunk):
     (w_det, w_t, w_u, w_v), nchunks = I._mxu_tables(scene, chunk)
+    # pad the chunk count to a SUB multiple (zero columns -> det=0 -> miss)
+    nsteps = -(-nchunks // SUB)
+    cpad = nsteps * SUB * chunk - nchunks * chunk
+    if cpad:
+        z = jnp.zeros((16, cpad), w_det.dtype)
+        w_det, w_t, w_u, w_v = (jnp.concatenate([a, z], 1)
+                                for a in (w_det, w_t, w_u, w_v))
     # interleave per chunk: [det_c | t_c | u_c | v_c] for each chunk c
     blocks = []
-    for ci in range(nchunks):
+    for ci in range(nsteps * SUB):
         sl = slice(ci * chunk, (ci + 1) * chunk)
         blocks += [w_det[:, sl], w_t[:, sl], w_u[:, sl], w_v[:, sl]]
     w = jax.lax.stop_gradient(jnp.concatenate(blocks, axis=1))  # (16, 4T')
@@ -87,27 +125,37 @@ def _run(scene, o, d, tmax, chunk):
         tmax = jnp.concatenate([tmax, jnp.zeros((pad,), tmax.dtype)], 0)
     npad = phi.shape[0]
 
-    grid = (npad // TILE,)
+    grid = (npad // TILE, nsteps)
+    wcols = 4 * SUB * chunk
     key, base = pl.pallas_call(
-        partial(_kernel, nchunks, chunk),
+        partial(_kernel, chunk),
         out_shape=(
             jax.ShapeDtypeStruct((npad, 1), jnp.int32),
             jax.ShapeDtypeStruct((npad, 1), jnp.int32),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 16), lambda i: (i, 0),
+            pl.BlockSpec((TILE, 16), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE, 1), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, wcols), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE, 1), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE, 1), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.VMEM((TILE, 1), jnp.int32),
+        ],
+        # the triangle axis carries a scratch accumulator: sequential;
+        # ray tiles are independent
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY)),
     )(phi, tmax[:, None], w)
     return key[:n, 0], base[:n, 0]
 

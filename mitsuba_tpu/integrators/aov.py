@@ -42,7 +42,7 @@ def li_albedo(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.
 
     its = trace.closest_hit(scene, o, d)
     si = trace.surface_interaction(scene, o, d, its)
-    sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"])
+    sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"], aux=si)
     return jnp.where(its.valid[:, None], sp.reflectance, 0.0)
 
 

@@ -54,7 +54,7 @@ def render(scene, cam, cfg: RenderConfig, channels=("radiance", "depth",
         if "position" in channels:
             outs["position"] = jnp.where(its.valid[:, None], si["p"], 0.0)
         if "albedo" in channels:
-            sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"])
+            sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"], aux=si)
             outs["albedo"] = jnp.where(its.valid[:, None], sp.reflectance, 0.0)
         return {
             k: jnp.mean(v.reshape(h, w, spp, 3), axis=2)

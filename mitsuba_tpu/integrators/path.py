@@ -89,7 +89,7 @@ def _li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig,
         can_continue = t < (cfg.max_depth - 1)
 
         sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"],
-                                u_blend=bounce_u(t, 7))
+                                u_blend=bounce_u(t, 7), aux=si)
 
         # --- next event estimation (path.cpp:176-263) --------------------
         u_nee = jnp.stack([bounce_u(t, 0), bounce_u(t, 1), bounce_u(t, 2)], -1)

@@ -153,7 +153,7 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         wo_m, pdf_ph = phaselib.sample(med.phase, med.g, -d, u2_ph)
 
         # === surface event ===============================================
-        sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"])
+        sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"], aux=si)
         wi_local = m.to_local(ns, si["wi_world"])
         beta_s = beta * w_surf
         L = L + nee(p_s, beta_s, si["wi_world"], ns, ng, sp, t,

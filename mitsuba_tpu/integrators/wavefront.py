@@ -132,7 +132,7 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
 
         can_continue = t < (cfg.max_depth - 1)
         sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"],
-                                u_blend=bu(7))
+                                u_blend=bu(7), aux=si)
 
         # NEE
         u_nee = jnp.stack([bu(0), bu(1), bu(2)], -1)

@@ -14,13 +14,16 @@ import numpy as np
 
 
 class MeshData:
-    def __init__(self, vertices, indices, normals=None, uvs=None, face_groups=None):
+    def __init__(self, vertices, indices, normals=None, uvs=None, face_groups=None,
+                 colors=None):
         self.vertices = np.asarray(vertices, np.float32)   # (V,3)
         self.indices = np.asarray(indices, np.int32)       # (T,3)
         self.normals = None if normals is None else np.asarray(normals, np.float32)
         self.uvs = None if uvs is None else np.asarray(uvs, np.float32)
         # face_groups[t] = material/group name per triangle (usemtl tracking)
         self.face_groups = face_groups
+        # per-vertex RGB colors (PLY red/green/blue; vertexcolors.cpp)
+        self.colors = None if colors is None else np.asarray(colors, np.float32)
 
 
 def load_obj(path) -> MeshData:
@@ -143,7 +146,7 @@ def load_ply(path) -> MeshData:
            "ushort": "u2", "uint16": "u2", "short": "i2", "int16": "i2",
            "uint": "u4", "uint32": "u4", "int": "i4", "int32": "i4"}
 
-    verts = norms = uvs = None
+    verts = norms = uvs = colors = None
     faces: list = []
     if fmt == "ascii":
         tokens = body.split()
@@ -155,7 +158,7 @@ def load_ply(path) -> MeshData:
                     tokens[pos:pos + count * len(props)], np.float64
                 ).reshape(count, len(props))
                 pos += count * len(props)
-                verts, norms, uvs = _extract_vertex_props(arr, pnames)
+                verts, norms, uvs, colors = _extract_vertex_props(arr, pnames)
             elif name == "face":
                 for _ in range(count):
                     k = int(tokens[pos]); pos += 1
@@ -176,7 +179,7 @@ def load_ply(path) -> MeshData:
                 off += dt.itemsize * count
                 pnames = [p[1] for p in props]
                 arr = np.stack([arr_s[pn].astype(np.float64) for pn in pnames], -1)
-                verts, norms, uvs = _extract_vertex_props(arr, pnames)
+                verts, norms, uvs, colors = _extract_vertex_props(arr, pnames)
             elif name == "face":
                 # assume a single list property (vertex_indices)
                 lp = props[0]
@@ -195,7 +198,8 @@ def load_ply(path) -> MeshData:
     else:
         raise ValueError(f"unsupported PLY format {fmt}")
 
-    return MeshData(verts, np.asarray(faces, np.int32), normals=norms, uvs=uvs)
+    return MeshData(verts, np.asarray(faces, np.int32), normals=norms, uvs=uvs,
+                    colors=colors)
 
 
 def _extract_vertex_props(arr, pnames):
@@ -207,7 +211,12 @@ def _extract_vertex_props(arr, pnames):
     verts = cols(["x", "y", "z"])
     norms = cols(["nx", "ny", "nz"])
     uvs = cols(["u", "v"]) if cols(["u", "v"]) is not None else cols(["s", "t"])
-    return verts, norms, uvs
+    colors = cols(["red", "green", "blue"])
+    if colors is None:
+        colors = cols(["r", "g", "b"])
+    if colors is not None and colors.max() > 1.0:
+        colors = colors / 255.0  # uchar-encoded (ply.cpp sRGB bytes)
+    return verts, norms, uvs, colors
 
 
 def save_obj(path, vertices, indices):

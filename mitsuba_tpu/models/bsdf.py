@@ -47,7 +47,7 @@ class ShadePoint(NamedTuple):
 
 
 def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
-                       u_blend=None) -> ShadePoint:
+                       u_blend=None, aux=None) -> ShadePoint:
     """Gather material rows for each ray; resolve reflectance textures.
     Routed through the one-hot matmul fetch (ops/gather.py) — the material
     table is tiny and the MXU beats row gathers by ~20x on TPU.
@@ -83,6 +83,16 @@ def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
     )
     tex_id = jnp.round(texf[:, 0]).astype(jnp.int32)
     refl = tex.resolve(scene, tex_id, uv, refl)
+    # procedural per-interaction textures, interpolated by
+    # surface_interaction and handed through `aux` (the si dict);
+    # bidirectional caches that don't carry them fall back to the flat
+    # color (documented approximation)
+    if aux is not None and scene.has_vtx_colors and "vcolor" in aux:
+        refl = jnp.where((tex_id == ir.TEX_VERTEXCOLOR)[..., None],
+                         aux["vcolor"], refl)
+    if aux is not None and scene.has_wireframe and "wirecolor" in aux:
+        refl = jnp.where((tex_id == ir.TEX_WIREFRAME)[..., None],
+                         aux["wirecolor"], refl)
     nested_sp = None
     if int(jnp.ndim(mat)) and ir.BSDF_COATING in scene.bsdf_families:
         # one-level child gather for coating adapters (coating.cpp m_nested)

@@ -512,7 +512,7 @@ def surface_interaction(scene, o, d, its: Intersection):
     if scene.has_perturb:
         ns = _perturb_normal(scene, mat, uv, t0, t1, t2, e1, e2, ns, ng)
     emitter = jnp.round(emf[:, 0]).astype(jnp.int32)
-    return {
+    out = {
         "p": p,
         "ng": ng,
         "ns": ns,
@@ -521,3 +521,19 @@ def surface_interaction(scene, o, d, its: Intersection):
         "emitter": emitter,
         "wi_world": -d,
     }
+    # procedural per-interaction colors (compiled only when present):
+    if scene.has_vtx_colors:
+        # vertexcolors.cpp / curvature.cpp (colors baked at load time)
+        (c0, c1, c2) = fetch_packed(
+            [scene.vertex_colors[vi[:, 0]],
+             scene.vertex_colors[vi[:, 1]],
+             scene.vertex_colors[vi[:, 2]]], its.prim)
+        out["vcolor"] = c0 * w0 + c1 * b1[:, None] + c2 * b2[:, None]
+    if scene.has_wireframe:
+        # wireframe.cpp: edge distance approximated in barycentric space
+        wp = scene.wire_params
+        edge = jnp.minimum(jnp.minimum(b1, b2), 1.0 - b1 - b2)
+        t_edge = jnp.clip(edge / jnp.maximum(wp[6], 1e-6), 0.0, 1.0)
+        out["wirecolor"] = wp[3:6][None, :] + (wp[0:3] - wp[3:6])[None, :] \
+            * t_edge[:, None]
+    return out

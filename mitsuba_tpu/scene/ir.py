@@ -52,8 +52,12 @@ BSDF_HK = 17
 MICROFACET_BECKMANN = 0
 MICROFACET_GGX = 1
 
-# Texture slot meaning: texture id < 0 means "constant color from table".
+# Texture slot meaning: texture id < 0 means "constant color from table",
+# except the procedural per-interaction ids below.
 TEX_NONE = -1
+TEX_VERTEXCOLOR = -2   # barycentric per-vertex colors (vertexcolors.cpp;
+                       # also curvature.cpp via load-time color baking)
+TEX_WIREFRAME = -3     # edge highlight from barycentrics (wireframe.cpp)
 
 
 @struct.dataclass
@@ -248,6 +252,11 @@ class Scene:
     # (scene.cpp attenuated shadow rays / mask.cpp transparency analog)
     tri_opaque: Any = None
 
+    # (V,3) per-vertex colors for TEX_VERTEXCOLOR materials (None = absent)
+    vertex_colors: Any = None
+    # (7,) wireframe params [interior rgb, edge rgb, bary line width]
+    wire_params: Any = None
+
     # Static metadata
     # Power-weighted (area, env, delta) emitter-group selection probs
     # (models/emitter.compute_group_probs; empty = uniform over present
@@ -263,6 +272,9 @@ class Scene:
     # any null-BSDF triangles present (gates the shadow-transparency
     # masking so ordinary scenes compile none of it)
     has_null: bool = struct.field(pytree_node=False, default=False)
+    # procedural per-interaction textures present (gate their compile)
+    has_vtx_colors: bool = struct.field(pytree_node=False, default=False)
+    has_wireframe: bool = struct.field(pytree_node=False, default=False)
     aux: Any = struct.field(pytree_node=False, default=None)
 
     # ------------------------------------------------------------------
@@ -312,6 +324,8 @@ def build_scene(
     uvs: Optional[np.ndarray] = None,
     env_radiance=None,
     textures: Optional[list] = None,
+    vertex_colors: Optional[np.ndarray] = None,
+    wire_params=None,
 ) -> Scene:
     """Host-side scene assembly (the analog of SceneHandler + Scene::initialize,
     scenehandler.cpp:712, scene.cpp:340 — minus the kd-tree, built separately).
@@ -433,6 +447,12 @@ def build_scene(
         tri_emitter=jnp.asarray(tri_emitter),
         tri_opaque=jnp.asarray(tri_opaque_np),
         has_null=bool((~tri_opaque_np).any()),
+        vertex_colors=(None if vertex_colors is None
+                       else jnp.asarray(vertex_colors, jnp.float32)),
+        wire_params=(None if wire_params is None
+                     else jnp.asarray(wire_params, jnp.float32)),
+        has_vtx_colors=vertex_colors is not None,
+        has_wireframe=wire_params is not None,
         materials=mats,
         emitters=emitters,
         env_radiance=env,

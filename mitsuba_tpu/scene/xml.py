@@ -180,6 +180,10 @@ class _Loader:
         self.width = 256
         self.height = 256
         self.integrator = "path"
+        self.vert_colors: list = []    # per-vertex RGB (TEX_VERTEXCOLOR)
+        self.any_vert_colors = False
+        self.wire_params = None        # wireframe texture params
+        self.curvature_req = None      # ("mean"|"gaussian", scale)
         self.medium = None             # scene/global participating medium
         self.medium_tris: list = []    # triangle ids bounding an interior
         self.medium_ids: dict = {}     # id -> Medium (for <ref>)
@@ -299,6 +303,55 @@ class _Loader:
 
         typ = node.attrib["type"]
         p = _props(node, self.subst)
+        if typ == "scale":
+            # src/textures/scale.cpp: multiply a nested texture/constant by
+            # a factor — flattened at load by pre-multiplying the texels
+            factor = p.get("scale", 1.0)
+            if isinstance(factor, (list, tuple, np.ndarray)):
+                factor = np.asarray(factor, np.float32)
+            nested = [c for c in node if c.tag == "texture"]
+            if not nested:
+                raise ValueError("scale texture without nested texture")
+            tid = self.load_texture(nested[0])
+            if tid < 0:
+                raise ValueError("scale over procedural textures unsupported")
+            self.textures[tid]["data"] = (
+                np.asarray(self.textures[tid]["data"], np.float32) * factor)
+            return tid
+        if typ == "vertexcolors":
+            # src/textures/vertexcolors.cpp: barycentric per-vertex colors
+            return ir.TEX_VERTEXCOLOR
+        if typ == "wireframe":
+            # src/textures/wireframe.cpp (edge width in barycentric units)
+            interior = np.asarray(p.get("interiorColor", [0.5] * 3), np.float32)
+            edge = np.asarray(p.get("edgeColor", [0.1] * 3), np.float32)
+            width = float(p.get("lineWidth", 0.01)) * 10.0  # bary-space scale
+            self.wire_params = np.concatenate(
+                [interior, edge, [width]]).astype(np.float32)
+            return ir.TEX_WIREFRAME
+        if typ == "curvature":
+            # src/textures/curvature.cpp: bake per-vertex curvature colors
+            # after all shapes load (see _finish)
+            self.curvature_req = (str(p.get("curvature", "gaussian")),
+                                  float(p.get("scale", 1.0)))
+            return ir.TEX_VERTEXCOLOR
+        if typ == "gridtexture":
+            # src/textures/gridtexture.cpp: lines of color1 on color0 —
+            # rasterized once into a nearest bitmap (equivalent under
+            # repeat tiling at the stored resolution)
+            c0 = np.asarray(p.get("color0", [0.2] * 3), np.float32)
+            c1 = np.asarray(p.get("color1", [0.4] * 3), np.float32)
+            lw = float(p.get("lineWidth", 0.01))
+            res = 64
+            img = np.tile(c0, (res, res, 1)).astype(np.float32)
+            k = max(1, int(round(lw * res)))
+            img[:k, :, :] = c1
+            img[:, :k, :] = c1
+            rec = {"data": img, "nearest": True,
+                   "transform": (p.get("uscale", 1.0), p.get("vscale", 1.0),
+                                 p.get("uoffset", 0.0), p.get("voffset", 0.0))}
+            self.textures.append(rec)
+            return len(self.textures) - 1
         if typ == "bitmap":
             fn = self.base / p["filename"]
             data = imagelib.read_auto(str(fn))
@@ -519,7 +572,8 @@ class _Loader:
         return mid
 
     # --- shapes --------------------------------------------------------
-    def add_mesh(self, verts, faces, mat_id, normals=None, uvs=None, radiance=None):
+    def add_mesh(self, verts, faces, mat_id, normals=None, uvs=None, radiance=None,
+                 colors=None):
         base = len(self.verts)
         self.verts.extend(np.asarray(verts, np.float32))
         if normals is None:
@@ -528,6 +582,11 @@ class _Loader:
         if uvs is None:
             uvs = np.zeros((len(verts), 2), np.float32)
         self.uvs.extend(np.asarray(uvs, np.float32))
+        if colors is None:
+            colors = np.full((len(verts), 3), 0.5, np.float32)
+        else:
+            self.any_vert_colors = True
+        self.vert_colors.extend(np.asarray(colors, np.float32))
         for f in np.asarray(faces, np.int32):
             if radiance is not None:
                 self.tri_rad[len(self.tris)] = radiance
@@ -583,6 +642,7 @@ class _Loader:
             return
 
         mat_id, radiance = self._shape_material(node)
+        mesh_colors = None
 
         if typ == "rectangle":
             v, f, n, uv = shapelib.rectangle()
@@ -614,6 +674,7 @@ class _Loader:
             uv = md.uvs if md.uvs is not None else np.zeros((len(v), 2), np.float32)
             if p.get("faceNormals", False):
                 n = np.zeros_like(v)
+            mesh_colors = md.colors
         else:
             raise ValueError(f"unsupported shape plugin '{typ}'")
 
@@ -626,7 +687,7 @@ class _Loader:
             collect_to.append((v, np.asarray(f), n_out, uv, mat_id, radiance))
         else:
             self.add_mesh(v, f, mat_id, normals=n_out, uvs=uv,
-                          radiance=radiance)
+                          radiance=radiance, colors=mesh_colors)
 
     def _shape_material(self, node, default=None):
         """Nested bsdf / ref / default diffuse + optional area emitter."""
@@ -848,6 +909,11 @@ def _finish(ld):
     if not ld.tris:
         raise ValueError("scene has no shapes")
     normals = np.asarray(ld.normals, np.float32)
+    if ld.curvature_req is not None:
+        ld.vert_colors = _bake_curvature(
+            np.asarray(ld.verts, np.float32), np.asarray(ld.tris, np.int32),
+            *ld.curvature_req)
+        ld.any_vert_colors = True
     scene = ir.build_scene(
         np.asarray(ld.verts, np.float32),
         np.asarray(ld.tris, np.int32),
@@ -858,6 +924,9 @@ def _finish(ld):
         uvs=np.asarray(ld.uvs, np.float32),
         env_radiance=ld.env_radiance,
         textures=ld.textures or None,
+        vertex_colors=(np.asarray(ld.vert_colors, np.float32)
+                       if ld.any_vert_colors else None),
+        wire_params=ld.wire_params,
     )
     if envmap is not None:
         from . import envmap as envlib
@@ -873,3 +942,36 @@ def _finish(ld):
         ld.cam = sensorlib.make_camera([0, 0, -3], [0, 0, 0], width=ld.width,
                                        height=ld.height)
     return scene, ld.cam, cfg, ld.integrator
+
+
+def _bake_curvature(verts, tris, kind="gaussian", scale=1.0):
+    """Per-vertex curvature -> diverging red/blue colors
+    (src/textures/curvature.cpp visualization). Gaussian curvature by the
+    angle-deficit formula; "mean" approximated by |deficit| magnitude."""
+    V = len(verts)
+    p0 = verts[tris[:, 0]]
+    p1 = verts[tris[:, 1]]
+    p2 = verts[tris[:, 2]]
+
+    def angle(a, b):
+        an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        return np.arccos(np.clip(np.sum(an * bn, 1), -1.0, 1.0))
+
+    a0 = angle(p1 - p0, p2 - p0)
+    a1 = angle(p0 - p1, p2 - p1)
+    a2 = angle(p0 - p2, p1 - p2)
+    area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1)
+    ang_sum = np.zeros(V)
+    varea = np.zeros(V)
+    for k, ak in enumerate((a0, a1, a2)):
+        np.add.at(ang_sum, tris[:, k], ak)
+        np.add.at(varea, tris[:, k], area / 3.0)
+    kappa = (2.0 * np.pi - ang_sum) / np.maximum(varea, 1e-12)
+    if kind == "mean":
+        kappa = np.abs(kappa)
+    x = np.tanh(kappa * scale * 1e-3)
+    colors = np.stack([0.5 + 0.5 * np.maximum(x, 0),
+                       np.full(V, 0.5) - 0.25 * np.abs(x),
+                       0.5 + 0.5 * np.maximum(-x, 0)], -1)
+    return colors.astype(np.float32)

@@ -438,3 +438,155 @@ def test_null_boundary_does_not_block_shadows():
     d2 = jnp.asarray([[1.0, 0.0, 0.0]])
     blocked2 = trace.any_hit(s2, o, d2, jnp.asarray([5.0]))
     assert bool(blocked2[0])
+
+
+def _write_color_ply(path):
+    """ascii PLY with red/green/blue uchar vertex colors."""
+    path.write_text("""\
+ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+property uchar red
+property uchar green
+property uchar blue
+element face 2
+property list uchar int vertex_indices
+end_header
+-1 0 -1 255 0 0
+1 0 -1 0 255 0
+1 0 1 0 0 255
+-1 0 1 255 255 0
+3 0 2 1
+3 0 3 2
+""")
+
+
+def test_ply_vertex_colors(tmp_path):
+    from mitsuba_tpu.io import mesh as meshlib
+    _write_color_ply(tmp_path / "c.ply")
+    md = meshlib.load_ply(tmp_path / "c.ply")
+    assert md.colors is not None
+    assert np.allclose(md.colors[0], [1, 0, 0]) and \
+        np.allclose(md.colors[2], [0, 0, 1])
+
+
+def test_xml_vertexcolors_texture(tmp_path):
+    """vertexcolors texture: rendered reflectance follows the PLY colors
+    (red corner vs blue corner)."""
+    _write_color_ply(tmp_path / "c.ply")
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="direct"/>
+    <sensor type="perspective">
+        <transform name="toWorld">
+            <lookat origin="0, 3, 0" target="0, 0, 0" up="0, 0, 1"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="32"/></sampler>
+        <film type="hdrfilm">
+            <integer name="width" value="16"/><integer name="height" value="16"/>
+        </film>
+    </sensor>
+    <shape type="ply">
+        <string name="filename" value="c.ply"/>
+        <bsdf type="diffuse">
+            <texture name="reflectance" type="vertexcolors"/>
+        </bsdf>
+    </shape>
+    <emitter type="constant"><rgb name="radiance" value="2,2,2"/></emitter>
+</scene>
+""")
+    from mitsuba_tpu.integrators import common, direct
+    from mitsuba_tpu.scene import ir as irlib
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    assert scene.has_vtx_colors
+    assert int(np.asarray(scene.materials.tex_reflectance)[0]) == \
+        irlib.TEX_VERTEXCOLOR
+    img = np.asarray(common.render_jit(scene, cam, direct.li, cfg))
+    # the quad fills the view; opposite corners pick up opposite colors
+    tl = img[2, 2]; br = img[13, 13]
+    assert not np.allclose(tl, br, atol=0.05)
+    # corners are dominated by different channels
+    assert np.argmax(tl) != np.argmax(br)
+
+
+def test_xml_wireframe_and_scale_and_grid(tmp_path):
+    from mitsuba_tpu.io import image as imagelib
+    tex = np.full((4, 4, 3), 0.5, np.float32)
+    imagelib.write_exr(tmp_path / "t.exr", tex)
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="direct"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <shape type="rectangle">
+        <bsdf type="diffuse">
+            <texture name="reflectance" type="wireframe">
+                <rgb name="interiorColor" value="0.6, 0.6, 0.6"/>
+                <rgb name="edgeColor" value="0.0, 0.0, 0.0"/>
+            </texture>
+        </bsdf>
+    </shape>
+    <shape type="cube">
+        <bsdf type="diffuse">
+            <texture name="reflectance" type="scale">
+                <float name="scale" value="0.5"/>
+                <texture name="nested" type="bitmap">
+                    <string name="filename" value="t.exr"/>
+                </texture>
+            </texture>
+        </bsdf>
+    </shape>
+    <shape type="disk">
+        <bsdf type="diffuse">
+            <texture name="reflectance" type="gridtexture">
+                <rgb name="color0" value="0.8, 0.8, 0.8"/>
+                <rgb name="color1" value="0.1, 0.1, 0.1"/>
+            </texture>
+        </bsdf>
+    </shape>
+</scene>
+""")
+    from mitsuba_tpu.scene import ir as irlib
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    assert scene.has_wireframe
+    texids = np.asarray(scene.materials.tex_reflectance)
+    assert irlib.TEX_WIREFRAME in texids
+    # scale premultiplied the bitmap to 0.25
+    assert np.allclose(np.asarray(scene.textures)[0, :4, :4], 0.25)
+
+
+def test_xml_curvature_texture(tmp_path):
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="direct"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <shape type="sphere">
+        <bsdf type="diffuse">
+            <texture name="reflectance" type="curvature">
+                <string name="curvature" value="gaussian"/>
+                <float name="scale" value="1.0"/>
+            </texture>
+        </bsdf>
+    </shape>
+</scene>
+""")
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    assert scene.has_vtx_colors
+    vc = np.asarray(scene.vertex_colors)
+    assert np.isfinite(vc).all() and vc.shape[1] == 3
+    # a sphere has positive curvature everywhere: red channel dominant
+    interior = vc[np.abs(vc[:, 0] - 0.5) > 1e-3]
+    assert (interior[:, 0] >= interior[:, 2]).mean() > 0.9

@@ -128,9 +128,9 @@ def _ray_comps(o, d):
 # is the same idea for scalar CPUs).
 # ---------------------------------------------------------------------------
 
-def _mxu_tables(scene, chunk: int):
-    """Per-triangle GEMM coefficient tables, padded: 4 arrays (16, T')."""
-    p0, e1, e2 = scene.tri_vertices()
+def _gemm_coeffs(p0, e1, e2):
+    """Per-triangle GEMM coefficient rows (Wald TriAccel as a 16-dim
+    linear form in the ray features — see _phi): 4 arrays (16, T)."""
     t = p0.shape[0]
     nrm = jnp.cross(e1, e2)
 
@@ -159,6 +159,14 @@ def _mxu_tables(scene, chunk: int):
          zeros, -e1[:, 2], e1[:, 1],          # ox*(dx,dy,dz)
          e1[:, 2], zeros, -e1[:, 0],          # oy*
          -e1[:, 1], e1[:, 0], zeros], axis=0)  # oz*
+    return w_det, w_t, w_u, w_v
+
+
+def _mxu_tables(scene, chunk: int):
+    """Per-triangle GEMM coefficient tables, padded: 4 arrays (16, T')."""
+    p0, e1, e2 = scene.tri_vertices()
+    t = p0.shape[0]
+    w_det, w_t, w_u, w_v = _gemm_coeffs(p0, e1, e2)
 
     pad = (-t) % chunk
     if pad:

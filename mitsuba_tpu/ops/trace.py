@@ -33,6 +33,11 @@ def _prefer_brute(scene) -> bool:
 
 def closest_hit(scene, o: jax.Array, d: jax.Array, tmax=None) -> _isect.Intersection:
     if scene.bvh is not None and not _prefer_brute(scene):
+        if jax.default_backend() != "cpu" and scene.clusters is not None:
+            # large meshes on TPU: two-phase binned MXU (27x over the walk)
+            from . import binned_intersect
+            return binned_intersect.closest_hit(
+                scene, scene.clusters, o, d, tmax)
         from . import bvh_traverse
         return bvh_traverse.closest_hit(scene, scene.bvh, o, d, tmax)
     return _isect.intersect_brute(scene, o, d, tmax)
@@ -40,6 +45,10 @@ def closest_hit(scene, o: jax.Array, d: jax.Array, tmax=None) -> _isect.Intersec
 
 def any_hit(scene, o: jax.Array, d: jax.Array, tmax) -> jax.Array:
     if scene.bvh is not None and not _prefer_brute(scene):
+        if jax.default_backend() != "cpu" and scene.clusters is not None:
+            from . import binned_intersect
+            return binned_intersect.any_hit(
+                scene, scene.clusters, o, d, tmax)
         from . import bvh_traverse
         return bvh_traverse.any_hit(scene, scene.bvh, o, d, tmax)
     return _isect.occluded_brute(scene, o, d, tmax)

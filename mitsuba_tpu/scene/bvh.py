@@ -145,8 +145,11 @@ def build_bvh(vertices: np.ndarray, indices: np.ndarray) -> BVH:
 
 
 def attach(scene, bvh: BVH | None = None):
-    """Attach a built BVH to the scene (trace.py then routes ray queries
-    through ops/bvh_traverse.py instead of the brute-force path)."""
+    """Attach acceleration structures: the stackless BVH (CPU walk) and
+    the Morton-cluster tables for the TPU binned intersector
+    (ops/binned_intersect.py) — trace.py picks per backend/size."""
     if bvh is None:
         bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.indices))
-    return scene.replace(bvh=bvh)
+    from ..ops import binned_intersect
+    return scene.replace(bvh=bvh,
+                         clusters=binned_intersect.build_clusters(scene))

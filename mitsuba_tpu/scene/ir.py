@@ -234,6 +234,9 @@ class Scene:
 
     # Acceleration structure (None = brute-force VPU path; scene/bvh.py)
     bvh: Any = None
+    # Morton-cluster tables for the TPU binned intersector
+    # (ops/binned_intersect.py; built by scene/bvh.attach)
+    clusters: Any = None
 
     # Environment map emitter (None = constant env_radiance; scene/envmap.py)
     envmap: Any = None

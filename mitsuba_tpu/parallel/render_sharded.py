@@ -81,12 +81,49 @@ def _radiance_sum(scene, cam, li_fn, cfg: RenderConfig, pixel_ids, sample_base,
     return acc
 
 
+def _film_sum(scene, cam, li_fn, cfg: RenderConfig, pixel_ids, sample_base,
+              n_samples: int, chunk: int):
+    """Filtered-splat variant of _radiance_sum: accumulates a FULL-frame
+    (H, W, 3) image + (H, W) weight film from this shard's pixels. Splats
+    from a shard spill across its pixel-range boundary (filter radius up
+    to 3 px), so each shard carries a whole film and the films psum —
+    exactly the reference's ImageBlock-with-border merge
+    (imageblock.h:103) expressed as a collective."""
+    from ..models import sensor as sensorlib
+
+    npx = pixel_ids.shape[0]
+    w, h = cam.width, cam.height
+    pids = jnp.repeat(pixel_ids, chunk)
+    slot = jnp.tile(jnp.arange(chunk, dtype=jnp.uint32), (npx,))
+    px_base = (pids % w).astype(jnp.float32)
+    py_base = (pids // w).astype(jnp.float32)
+    nchunks = n_samples // chunk
+
+    def body(acc, ci):
+        img, wgt = acc
+        sample_ids = sample_base + slot + ci.astype(jnp.uint32) * jnp.uint32(chunk)
+        stream = SampleStream(jnp.uint32(cfg.seed), pids, sample_ids, 0)
+        jx = stream.next_1d()
+        jy = stream.next_1d()
+        u_lens = stream.next_2d()
+        px = px_base + jx
+        py = py_base + jy
+        o, d, imp = sensorlib.sample_rays(cam, px, py, u_lens)
+        radiance = li_fn(scene, cam, o, d, stream, cfg) * imp[:, None]
+        radiance = jnp.nan_to_num(radiance, nan=0.0, posinf=0.0, neginf=0.0)
+        ci_img, ci_wgt = filmlib.splat(w, h, px, py, radiance, cfg.filter)
+        return (img + ci_img, wgt + ci_wgt), None
+
+    acc0 = (jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w), jnp.float32))
+    (img, wgt), _ = jax.lax.scan(body, acc0, jnp.arange(nchunks))
+    return img, wgt
+
+
 def render_sharded(scene, cam, li_fn, cfg: RenderConfig, mesh: Mesh) -> jax.Array:
     """Full-frame render distributed over `mesh` -> (H, W, 3).
 
-    Box filter only (the fast film path); filtered splatting composes with
-    sharding via a psum of per-shard films — see film notes in
-    integrators/common.py.
+    Box filter uses the fast per-pixel-mean path; other reconstruction
+    filters splat into per-shard full films merged by one psum.
     """
     ndp = mesh.shape["dp"]
     nsp = mesh.shape.get("sp", 1)
@@ -101,6 +138,27 @@ def render_sharded(scene, cam, li_fn, cfg: RenderConfig, mesh: Mesh) -> jax.Arra
     pad = (-npix) % ndp
     pixel_ids = jnp.arange(npix + pad, dtype=jnp.uint32)
     # padded lanes re-render pixel 0; discarded on reshape
+
+    if cfg.filter != filmlib.FILTER_BOX:
+        # filtered splatting: every shard carries a full film; films merge
+        # with one psum over the whole mesh (splats spill across shard
+        # boundaries, so per-range reductions would clip filter tails)
+        def shard_fn_film(scene, cam, pixel_ids):
+            sp_idx = jax.lax.axis_index("sp")
+            base = sp_idx.astype(jnp.uint32) * jnp.uint32(spp_local)
+            img, wgt = _film_sum(scene, cam, li_fn, cfg, pixel_ids, base,
+                                 spp_local, chunk)
+            img = jax.lax.psum(jax.lax.psum(img, "sp"), "dp")
+            wgt = jax.lax.psum(jax.lax.psum(wgt, "sp"), "dp")
+            return img / jnp.maximum(wgt, 1e-8)[..., None]
+
+        return shard_map(
+            shard_fn_film,
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp")),
+            out_specs=P(),
+            check_vma=False,
+        )(scene, cam, pixel_ids)
 
     def shard_fn(scene, cam, pixel_ids):
         sp_idx = jax.lax.axis_index("sp")

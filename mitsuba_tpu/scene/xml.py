@@ -937,6 +937,10 @@ def _finish(ld):
         )
     if ld.medium is not None:
         scene = scene.replace(medium=ld.medium)
+    # power-weighted (area, env, delta) emitter-group selection
+    # (scene.cpp:131 m_emitterPDF analog; uniform split otherwise)
+    from ..models import emitter as emitterlib
+    scene = emitterlib.compute_group_probs(scene)
     cfg = integ_common.RenderConfig(**ld.cfg_kw)
     if ld.cam is None:
         ld.cam = sensorlib.make_camera([0, 0, -3], [0, 0, 0], width=ld.width,

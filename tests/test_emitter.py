@@ -74,3 +74,33 @@ def test_direct_mc_matches_analytic_sphere_patch():
     geo = cos_q_ * cos_l_ / r2
     ref = np.asarray([17.0, 12.0, 4.0]) * (geo.sum() * dA)
     assert np.allclose(est, ref, rtol=2e-2), (est, ref)
+
+
+def test_xml_scene_gets_power_weighted_group_probs(tmp_path):
+    """scene.cpp:131 m_emitterPDF analog: loader-built scenes select
+    emitter groups by power, not uniformly (round-1 weak item 8)."""
+    from mitsuba_tpu.scene import xml as xmllib
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="direct"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <shape type="rectangle">
+        <emitter type="area"><rgb name="radiance" value="100, 100, 100"/></emitter>
+    </shape>
+    <shape type="cube"/>
+    <emitter type="point">
+        <point name="position" x="0" y="2" z="0"/>
+        <rgb name="intensity" value="0.01, 0.01, 0.01"/>
+    </emitter>
+</scene>
+""")
+    scene, _, _, _ = xmllib.load_xml(p)
+    gp = scene.group_probs
+    assert len(gp) == 3
+    # the bright area light dominates the dim point light
+    assert gp[0] > 0.8 and gp[2] < 0.2 and abs(sum(gp) - 1) < 1e-6

@@ -69,3 +69,24 @@ def test_graft_entry():
     img = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(img)))
     ge.dryrun_multichip(8)
+
+
+def test_sharded_filtered_splatting_matches_single_device():
+    """Non-box reconstruction filters compose with sharding: per-shard
+    full films merged by psum equal the single-device filtered render
+    (round-1 weak item 9)."""
+    from mitsuba_tpu.film import film as filmlib
+    from mitsuba_tpu.integrators import common, path
+    from mitsuba_tpu.parallel import render_sharded as rs
+    from mitsuba_tpu.scene import builtin
+
+    scene, cam = builtin.cornell_box(width=16, height=16)
+    cfg = common.RenderConfig(spp=8, max_depth=3, seed=0,
+                              filter=filmlib.FILTER_GAUSSIAN)
+    mesh = rs.make_mesh(8, sp=2)
+    img_sharded = np.asarray(rs.render_sharded_jit(scene, cam, path.li,
+                                                   cfg, mesh))
+    img_single = np.asarray(common.render_jit(scene, cam, path.li, cfg))
+    assert img_sharded.shape == img_single.shape
+    assert np.allclose(img_sharded, img_single, rtol=1e-4, atol=1e-5), \
+        np.abs(img_sharded - img_single).max()

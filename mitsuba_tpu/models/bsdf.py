@@ -82,7 +82,8 @@ def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
         mat,
     )
     tex_id = jnp.round(texf[:, 0]).astype(jnp.int32)
-    refl = tex.resolve(scene, tex_id, uv, refl)
+    footprint = aux.get("footprint") if aux is not None else None
+    refl = tex.resolve(scene, tex_id, uv, refl, footprint=footprint)
     # procedural per-interaction textures, interpolated by
     # surface_interaction and handed through `aux` (the si dict);
     # bidirectional caches that don't carry them fall back to the flat

@@ -529,6 +529,11 @@ def surface_interaction(scene, o, d, its: Intersection):
         "emitter": emitter,
         "wi_world": -d,
     }
+    if scene.tex_mips is not None and scene.tri_uv_density is not None:
+        # texel footprint for trilinear mip selection: pixel width at
+        # distance t (camera factor baked into tri_uv_density at load)
+        dens = fetch_packed([scene.tri_uv_density[:, None]], its.prim)[0]
+        out["footprint"] = its.t * dens[:, 0]
     # procedural per-interaction colors (compiled only when present):
     if scene.has_vtx_colors:
         # vertexcolors.cpp / curvature.cpp (colors baked at load time)

@@ -231,6 +231,13 @@ class Scene:
     tex_size: jax.Array        # (K, 2) int32 actual (h, w) of each texture
     tex_transform: jax.Array   # (K, 4) uv scale_u, scale_v, offset_u, offset_v
     tex_nearest: jax.Array     # (K,) int32 1 = nearest (procedural grids)
+    # Mip strip (mipmap.h trilinear analog): levels 1..L box-downsampled
+    # and packed side by side into one (K, TH//2, TW, 3) canvas — level l
+    # at x offset TW*(1 - 2^(1-l)) occupying (TH>>l, TW>>l). None = none.
+    tex_mips: Any = None
+    # (T,) per-triangle texel density sqrt(uv_area / world_area) — the
+    # LOD driver (footprint * density * resolution = texels per pixel)
+    tri_uv_density: Any = None
 
     # Acceleration structure (None = brute-force VPU path; scene/bvh.py)
     bvh: Any = None
@@ -329,6 +336,7 @@ def build_scene(
     textures: Optional[list] = None,
     vertex_colors: Optional[np.ndarray] = None,
     wire_params=None,
+    lod_scale: Optional[float] = None,
 ) -> Scene:
     """Host-side scene assembly (the analog of SceneHandler + Scene::initialize,
     scenehandler.cpp:712, scene.cpp:340 — minus the kd-tree, built separately).
@@ -429,11 +437,48 @@ def build_scene(
         tex_size = jnp.asarray(sizes)
         tex_transform = jnp.asarray(xforms)
         tex_nearest = jnp.asarray(nearest)
+        if lod_scale is not None and min(th, tw) >= 4:
+            # mip strip: per-texture box-downsampled chains packed into a
+            # (K, th//2, tw) canvas (level l >= 1 at x = tw*(1-2^(1-l)))
+            strip = np.zeros((k, th // 2, tw, 3), np.float32)
+            for i, t in enumerate(textures):
+                d = np.asarray(t["data"], np.float32)
+                if d.ndim == 2:
+                    d = np.repeat(d[..., None], 3, axis=-1)
+                d = d[..., :3]
+                lvl = d
+                x_off = 0
+                while min(lvl.shape[0], lvl.shape[1]) >= 2:
+                    hh, ww = lvl.shape[0] // 2, lvl.shape[1] // 2
+                    lvl = lvl[: hh * 2, : ww * 2].reshape(
+                        hh, 2, ww, 2, 3).mean((1, 3))
+                    if x_off + ww > tw or hh > th // 2:
+                        break
+                    strip[i, :hh, x_off:x_off + ww] = lvl
+                    x_off += ww
+            tex_mips = jnp.asarray(strip)
+        else:
+            tex_mips = None
     else:
         tex_stack = jnp.zeros((1, 1, 1, 3), jnp.float32)
         tex_size = jnp.ones((1, 2), jnp.int32)
         tex_transform = jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32)
         tex_nearest = jnp.zeros((1,), jnp.int32)
+        tex_mips = None
+
+    uv_density = None
+    if lod_scale is not None:
+        uvs_np = np.asarray(uvs, np.float32)
+        p0w = vertices[indices[:, 0]]
+        e1w = vertices[indices[:, 1]] - p0w
+        e2w = vertices[indices[:, 2]] - p0w
+        area_w = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=1)
+        t0u = uvs_np[indices[:, 0]]
+        e1u = uvs_np[indices[:, 1]] - t0u
+        e2u = uvs_np[indices[:, 2]] - t0u
+        area_u = 0.5 * np.abs(e1u[:, 0] * e2u[:, 1] - e1u[:, 1] * e2u[:, 0])
+        uv_density = (np.sqrt(area_u / np.maximum(area_w, 1e-20))
+                      * np.float32(lod_scale)).astype(np.float32)
 
     mat_types = np.asarray(
         [int(r.get("type", BSDF_DIFFUSE)) for r in materials] or [BSDF_DIFFUSE],
@@ -449,6 +494,8 @@ def build_scene(
         tri_material=jnp.asarray(tri_material),
         tri_emitter=jnp.asarray(tri_emitter),
         tri_opaque=jnp.asarray(tri_opaque_np),
+        tri_uv_density=(None if uv_density is None
+                        else jnp.asarray(uv_density)),
         has_null=bool((~tri_opaque_np).any()),
         vertex_colors=(None if vertex_colors is None
                        else jnp.asarray(vertex_colors, jnp.float32)),
@@ -460,6 +507,7 @@ def build_scene(
         emitters=emitters,
         env_radiance=env,
         textures=tex_stack,
+        tex_mips=tex_mips,
         tex_size=tex_size,
         tex_transform=tex_transform,
         tex_nearest=tex_nearest,

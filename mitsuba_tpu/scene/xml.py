@@ -927,6 +927,7 @@ def _finish(ld):
         vertex_colors=(np.asarray(ld.vert_colors, np.float32)
                        if ld.any_vert_colors else None),
         wire_params=ld.wire_params,
+        lod_scale=_lod_scale(ld),
     )
     if envmap is not None:
         from . import envmap as envlib
@@ -979,3 +980,13 @@ def _bake_curvature(verts, tris, kind="gaussian", scale=1.0):
                        np.full(V, 0.5) - 0.25 * np.abs(x),
                        0.5 + 0.5 * np.maximum(-x, 0)], -1)
     return colors.astype(np.float32)
+
+
+def _lod_scale(ld):
+    """World-space width of one pixel at unit distance (the camera factor
+    of the mip footprint; mipmap.h trilinear LOD). None disables mips."""
+    if not ld.textures or ld.cam is None:
+        return None
+    import jax.numpy as jnp  # noqa: F401
+    fov = float(ld.cam.fov_x)
+    return 2.0 * float(np.tan(np.deg2rad(fov) / 2.0)) / max(ld.width, 1)

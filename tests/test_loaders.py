@@ -590,3 +590,58 @@ def test_xml_curvature_texture(tmp_path):
     # a sphere has positive curvature everywhere: red channel dominant
     interior = vc[np.abs(vc[:, 0] - 0.5) > 1e-3]
     assert (interior[:, 0] >= interior[:, 2]).mean() > 0.9
+
+
+def test_mipmap_trilinear_antialiasing(tmp_path):
+    """Mip-strip trilinear filtering (mipmap.h analog): a distant view of
+    a high-frequency checker texture converges toward the mean with mips
+    instead of aliasing; near views still see full detail."""
+    from mitsuba_tpu.io import image as imagelib
+    from mitsuba_tpu.integrators import common, direct
+    # 64x64 checker of 0/1 texels
+    t = np.indices((64, 64)).sum(0) % 2
+    tex = np.repeat(t[..., None], 3, -1).astype(np.float32)
+    imagelib.write_exr(tmp_path / "c.exr", tex)
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="direct"/>
+    <sensor type="perspective">
+        <float name="fov" value="2.5"/>
+        <transform name="toWorld">
+            <lookat origin="0, 0.01, 40" target="0, 0, 0" up="0, 1, 0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="1"/></sampler>
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <shape type="rectangle">
+        <bsdf type="diffuse">
+            <texture name="reflectance" type="bitmap">
+                <string name="filename" value="c.exr"/>
+                <float name="uscale" value="32"/>
+                <float name="vscale" value="32"/>
+            </texture>
+        </bsdf>
+    </shape>
+    <emitter type="constant"><rgb name="radiance" value="1,1,1"/></emitter>
+</scene>
+""")
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    assert scene.tex_mips is not None and scene.tri_uv_density is not None
+    img = np.asarray(common.render_jit(scene, cam, direct.li, cfg))
+    # from 40 units away each pixel covers ~hundreds of checker texels:
+    # the trilinear result must be near the 0.5 mean with tiny variance
+    vals = img.mean(-1)
+    rel_spread = vals.std() / max(vals.mean(), 1e-6)
+    assert rel_spread < 0.35, (vals.mean(), vals.std())
+    assert 0.3 < vals.mean() < 0.7
+    # without mips (strip removed) the same 1-spp render aliases hard:
+    # each pixel lands on a random 0-or-1 texel
+    scene_nomip = scene.replace(tex_mips=None)
+    img2 = np.asarray(common.render_jit(scene_nomip, cam, direct.li, cfg))
+    vals2 = img2.mean(-1)
+    # variances are additive over the shared lighting-noise floor: the
+    # checker contribution must show up only in the no-mip render
+    assert vals2.var() > vals.var() + 0.015, (vals2.var(), vals.var())

@@ -44,7 +44,7 @@ def build_argparser():
 
 # Integrators with their own render drivers (not per-ray Li functions).
 SPECIAL_INTEGRATORS = ("ptracer", "sppm", "ppm", "photonmapper",
-                       "pssmlt", "mlt", "erpt", "multichannel")
+                       "pssmlt", "mlt", "erpt", "multichannel", "irrcache", "bre")
 
 
 def resolve_integrator(name: str):
@@ -153,6 +153,14 @@ def main(argv=None):
 
             img = pssmltlib.render_jit(scene, cam, cfg,
                                        n_mutations=max(cfg.spp, 64))
+    elif li_fn == "bre":
+        from .integrators import bre as brelib
+
+        img = brelib.render_jit(scene, cam, cfg)
+    elif li_fn == "irrcache":
+        from .integrators import irrcache as irrlib
+
+        img = irrlib.render(scene, cam, cfg)
     elif li_fn == "erpt":
         from .integrators import erpt as erptlib
 

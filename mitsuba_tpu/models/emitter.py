@@ -103,7 +103,9 @@ def compute_group_probs(scene):
 
         solid = np.where(
             kind == _ir.DELTA_SPOT, 2.0 * np.pi * (1.0 - cut[:, 0]),
-            np.where(kind == _ir.DELTA_DIRECTIONAL, disk, 4.0 * np.pi),
+            np.where(kind == _ir.DELTA_DIRECTIONAL, disk,
+                     np.where(kind == _ir.DELTA_COLLIMATED, 1.0,
+                              4.0 * np.pi)),
         )
         p_delta = float(np.sum(inten * solid))
     total = p_area + p_env + p_delta
@@ -224,6 +226,11 @@ def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
             (kind == _ir.DELTA_SPOT)[:, None], rad_spot,
             jnp.where(is_dirl[:, None], inten, rad_point),
         )
+        # collimated beams have delta position AND direction: the chance
+        # that a surface point lies on the beam is zero (collimated.cpp —
+        # no sampleDirect); reachable only via sample_emitter_ray
+        rad_delta = jnp.where((kind == _ir.DELTA_COLLIMATED)[:, None],
+                              0.0, rad_delta)
         sel = p_delta / k
         d = jnp.where(pick_delta[:, None], d_delta, d)
         dist = jnp.where(pick_delta, dist_delta, dist)
@@ -368,6 +375,7 @@ def sample_emitter_ray(scene, u_sel, u_pos, u_dir) -> EmitterRaySample:
         is_point = dkind == _ir.DELTA_POINT
         is_spot = dkind == _ir.DELTA_SPOT
         is_dirl = dkind == _ir.DELTA_DIRECTIONAL
+        is_coll = dkind == _ir.DELTA_COLLIMATED
 
         d_sphere = warp.square_to_uniform_sphere(u_dir)
         cone_local = warp.square_to_uniform_cone(u_dir, cut[..., 0])
@@ -385,18 +393,19 @@ def sample_emitter_ray(scene, u_sel, u_pos, u_dir) -> EmitterRaySample:
         t1, t2 = m.coordinate_system(ldir)
         o_disk = c_bs - ldir * r_bs + t1 * off[..., 0:1] + t2 * off[..., 1:2]
 
-        d_delta = jnp.where(is_dirl[:, None], ldir,
+        d_delta = jnp.where((is_dirl | is_coll)[:, None], ldir,
                             jnp.where(is_spot[:, None], d_cone, d_sphere))
         pos_delta = jnp.where(is_dirl[:, None], o_disk, lp)
         pdf_dir_delta = jnp.where(
-            is_dirl, 1.0,
+            is_dirl | is_coll, 1.0,
             jnp.where(is_spot, pdf_cone, warp.square_to_uniform_sphere_pdf()),
         )
         beta_delta = jnp.where(
             is_dirl[:, None], inten * (jnp.pi * r_bs * r_bs) / sel,
             jnp.where(is_spot[:, None],
                       inten * m.safe_div(fall, pdf_cone)[:, None] / sel,
-                      inten * (4.0 * jnp.pi / sel)),
+                      jnp.where(is_coll[:, None], inten / sel,
+                                inten * (4.0 * jnp.pi / sel))),
         )
         beta_pos_delta = inten / sel
         pdf_pos_delta = jnp.full((n,), sel)
@@ -418,7 +427,7 @@ def sample_emitter_ray(scene, u_sel, u_pos, u_dir) -> EmitterRaySample:
         aux_dir = jnp.where(sel_m[:, None], ldir, aux_dir)
         cutoff = jnp.where(sel_m[:, None], cut, cutoff)
         delta_pos = jnp.where(sel_m, ~is_dirl, delta_pos)
-        delta_dir = jnp.where(sel_m, is_dirl, delta_dir)
+        delta_dir = jnp.where(sel_m, is_dirl | is_coll, delta_dir)
 
     # --- environment branch (constant.cpp:159 / envmap.cpp:498) ---------
     if scene.has_env:

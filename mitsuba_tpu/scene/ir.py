@@ -177,6 +177,8 @@ class DeltaEmitters:
 DELTA_POINT = 0
 DELTA_SPOT = 1
 DELTA_DIRECTIONAL = 2
+DELTA_COLLIMATED = 3   # zero-divergence beam (src/emitters/collimated.cpp);
+                       # reachable only through light-path sampling
 
 
 def build_delta_emitters(records: list) -> DeltaEmitters:

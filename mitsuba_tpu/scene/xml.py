@@ -865,14 +865,17 @@ def _process_children(root, ld, subst, base_dir):
                 data = imagelib.read_auto(str(base_dir / p["filename"]))
                 ld.env_radiance = None
                 ld.cfg_kw.setdefault("_envmap", data * float(p.get("scale", 1.0)))
-            elif typ in ("point", "spot", "directional"):
+            elif typ in ("point", "spot", "directional", "collimated"):
                 rec = {"kind": {"point": ir.DELTA_POINT, "spot": ir.DELTA_SPOT,
-                                "directional": ir.DELTA_DIRECTIONAL}[typ]}
+                                "directional": ir.DELTA_DIRECTIONAL,
+                                "collimated": ir.DELTA_COLLIMATED}[typ]}
                 to_world = p.get("toWorld", np.eye(4, dtype=np.float32))
                 rec["position"] = p.get("position", to_world[:3, 3])
-                # spot/directional emit along +z of toWorld by convention
+                # spot/directional/collimated emit along +z of toWorld
                 rec["direction"] = p.get("direction", to_world[:3, :3] @ np.asarray([0, 0, 1.0]))
-                rec["intensity"] = p.get("intensity", p.get("irradiance", np.ones(3)))
+                rec["intensity"] = p.get("intensity",
+                                         p.get("irradiance",
+                                               p.get("power", np.ones(3))))
                 if typ == "spot":
                     co = float(p.get("cutoffAngle", 20.0))
                     rec["cutoff_deg"] = co

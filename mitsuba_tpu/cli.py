@@ -61,6 +61,7 @@ def resolve_integrator(name: str):
         "normal": aov.li_normal,
         "field": aov.li_normal,
         "ao": aov.li_ao,
+        "motion": aov.li_motion,
         "lvcbpt": lvcbpt.li,
         "bdpt": bdpt.li,
         "mybdpt": bdpt.li,

@@ -68,3 +68,25 @@ def li_ao(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Arra
     blocked = trace.any_hit(scene, o2, wo, jnp.full(p.shape[:1], length))
     vis = jnp.where(its.valid & ~blocked, 1.0, 0.0)
     return jnp.repeat(vis[:, None], 3, axis=-1)
+
+
+def li_motion(scene, cam, o, d, stream, cfg):
+    """Screen-space motion vectors (src/integrators/misc/motion.cpp): the
+    primary hit projected at shutter open vs close; output (dx, dy, 0)
+    in pixels. Camera animation only (object animation unsupported)."""
+    from ..models import sensor as sensorlib
+
+    its = trace.closest_hit(scene, o, d)
+    si = trace.surface_interaction(scene, o, d, its)
+    p = si["p"]
+    cam0 = cam.replace(to_world_end=None)
+    px0, py0, v0, _ = sensorlib.world_to_raster(cam0, p)
+    if cam.to_world_end is not None:
+        cam1 = cam.replace(to_world=cam.to_world_end, to_world_end=None)
+        px1, py1, v1, _ = sensorlib.world_to_raster(cam1, p)
+    else:
+        px1, py1, v1 = px0, py0, v0
+    ok = its.valid & v0 & v1
+    dx = jnp.where(ok, px1 - px0, 0.0)
+    dy = jnp.where(ok, py1 - py0, 0.0)
+    return jnp.stack([dx, dy, jnp.zeros_like(dx)], -1)

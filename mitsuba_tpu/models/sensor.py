@@ -39,6 +39,9 @@ class Camera:
     aperture: jax.Array     # scalar lens radius (thinlens.cpp)
     focus_dist: jax.Array   # scalar
     kc: jax.Array = None    # (2,) radial distortion (perspective_rdist.cpp)
+    # shutter-close pose for motion blur (track.h AnimatedTransform with
+    # two keyframes; matrix-lerped + re-orthonormalized). None = static.
+    to_world_end: jax.Array = None
     width: int = struct.field(pytree_node=False, default=256)
     height: int = struct.field(pytree_node=False, default=256)
     kind: int = struct.field(pytree_node=False, default=SENSOR_PERSPECTIVE)
@@ -167,6 +170,25 @@ def sample_rays(cam: Camera, px: jax.Array, py: jax.Array, u_lens: jax.Array):
     else:
         raise ValueError(f"unknown sensor kind {cam.kind}")
 
+    if cam.to_world_end is not None:
+        # motion blur: per-ray shutter time reuses the lens sample's first
+        # coordinate (pinhole sensors don't consume it; thinlens + motion
+        # correlates lens/time — documented approximation of track.h's
+        # independent time sampling)
+        tt = u_lens[..., 0][:, None, None]
+        m01 = cam.to_world[None, :3, :4] * (1.0 - tt) \
+            + cam.to_world_end[None, :3, :4] * tt
+        # re-orthonormalize the lerped rotation (Gram-Schmidt; track.h
+        # slerps quaternions — equivalent for small shutter rotations)
+        r0 = m.normalize(m01[:, :, 0])
+        r1 = m.normalize(m01[:, :, 1] - r0 * m.dot(m01[:, :, 1], r0,
+                                                   keepdims=True))
+        r2 = jnp.cross(r0, r1)
+        o = (o_cam[:, None, :] @ jnp.stack([r0, r1, r2], -1).transpose(
+            0, 2, 1)).squeeze(1) + m01[:, :, 3]
+        d = m.normalize((d_cam[:, None, :] @ jnp.stack(
+            [r0, r1, r2], -1).transpose(0, 2, 1)).squeeze(1))
+        return o, d, imp
     rot = cam.to_world[:3, :3]
     o = o_cam @ rot.T + cam.to_world[:3, 3]
     d = m.normalize(d_cam @ rot.T)

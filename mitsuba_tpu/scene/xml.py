@@ -764,8 +764,13 @@ class _Loader:
             kc = [float(x) for x in
                   str(p["kc"]).replace(",", " ").split()][:2]
         import jax.numpy as jnp
+        # two-keyframe camera animation (track.h AnimatedTransform):
+        # <transform name="toWorldEnd"> is the shutter-close pose
+        to_world_end = p.get("toWorldEnd")
         self.cam = sensorlib.Camera(
             to_world=jnp.asarray(to_world),
+            to_world_end=(None if to_world_end is None
+                          else jnp.asarray(to_world_end)),
             fov_x=jnp.float32(fov),
             aperture=jnp.float32(p.get("apertureRadius", 0.0)),
             focus_dist=jnp.float32(p.get("focusDistance", 1.0)),

@@ -57,3 +57,34 @@ def test_cache_and_gather():
     lo = np.asarray(sss.sss_exitant_radiance(p, pts, E, area, q, qn, wo))
     assert np.isfinite(lo).all() and (lo >= 0).all()
     assert lo.max() > 0
+
+
+def test_single_scatter_positive_and_attenuates():
+    """singlescatter.cpp (reduced): contribution is positive, decreases
+    with extinction, and adds on top of the dipole term."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.integrators import common
+    from mitsuba_tpu.scene import builtin
+
+    scene, cam = builtin.cornell_box(width=8, height=8)
+    cfg = common.RenderConfig(spp=8, max_depth=2, seed=0)
+    n = 64
+    q = jnp.tile(jnp.asarray([[0.0, 0.02, 0.0]]), (n, 1))
+    qn = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    wo = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+
+    def run(sig_a):
+        p = sss.DipoleParams(
+            sigma_s=jnp.asarray([1.0, 1.0, 1.0]),
+            sigma_a=jnp.asarray([sig_a] * 3),
+            g=0.0, eta=1.3)
+        out = np.asarray(sss.single_scatter_radiance(
+            p, scene, q, qn, wo, cfg, n_samples=8))
+        assert np.isfinite(out).all()
+        return out.mean()
+
+    lo_bright = run(0.05)
+    lo_dark = run(5.0)
+    assert lo_bright > 0
+    # higher absorption at fixed scattering -> dimmer single scatter
+    assert lo_dark < 0.7 * lo_bright, (lo_dark, lo_bright)

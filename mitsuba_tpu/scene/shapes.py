@@ -152,3 +152,69 @@ def apply_transform(mat4: np.ndarray, verts, normals=None):
         n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     # a reflection flips winding; fix so geometric normals stay consistent
     return v.astype(np.float32), (None if n is None else n.astype(np.float32))
+
+
+def hair_tubes(strands, radius: float, sides: int = 4):
+    """Tessellate hair polylines into triangle tubes — the TPU-native
+    replacement for the reference's analytic cylinder kd-tree
+    (src/shapes/hair.cpp:109 HairKDTree): curves compile to the same
+    triangle soup every other shape uses, so the wavefront intersectors
+    need no dedicated primitive. `sides`-gon cross sections with
+    parallel-transported frames (no twist); per-vertex normals give
+    smooth shading across the tube.
+
+    Returns (verts, faces, normals, uvs) like the other shape builders.
+    """
+    verts, normals, uvs, faces = [], [], [], []
+    base = 0
+    for s in strands:
+        s = np.asarray(s, np.float32)
+        if len(s) < 2:
+            continue
+        # parallel-transported frames along the strand
+        t0 = s[1] - s[0]
+        t0 = t0 / max(np.linalg.norm(t0), 1e-9)
+        a = np.asarray([1.0, 0, 0]) if abs(t0[0]) < 0.9 \
+            else np.asarray([0, 1.0, 0])
+        u = np.cross(a, t0)
+        u /= max(np.linalg.norm(u), 1e-9)
+        rings = []
+        prev_t = t0
+        for i, p in enumerate(s):
+            if 0 < i < len(s) - 1:
+                t = s[i + 1] - s[i - 1]
+            elif i == 0:
+                t = s[1] - s[0]
+            else:
+                t = s[-1] - s[-2]
+            t = t / max(np.linalg.norm(t), 1e-9)
+            # rotate u to stay perpendicular (projection transport)
+            u = u - t * np.dot(u, t)
+            nrm_u = np.linalg.norm(u)
+            if nrm_u < 1e-6:
+                a = np.asarray([1.0, 0, 0]) if abs(t[0]) < 0.9 \
+                    else np.asarray([0, 1.0, 0])
+                u = np.cross(a, t)
+                nrm_u = np.linalg.norm(u)
+            u = u / nrm_u
+            v_ = np.cross(t, u)
+            ring = []
+            for j in range(sides):
+                ang = 2 * np.pi * j / sides
+                n = np.cos(ang) * u + np.sin(ang) * v_
+                verts.append(p + radius * n)
+                normals.append(n)
+                uvs.append([j / sides, i / max(len(s) - 1, 1)])
+                ring.append(base + i * sides + j)
+            rings.append(ring)
+            prev_t = t
+        for i in range(len(s) - 1):
+            for j in range(sides):
+                a0 = rings[i][j]
+                a1 = rings[i][(j + 1) % sides]
+                b0 = rings[i + 1][j]
+                b1 = rings[i + 1][(j + 1) % sides]
+                faces += [[a0, b0, a1], [a1, b0, b1]]
+        base += len(s) * sides
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32),
+            np.asarray(normals, np.float32), np.asarray(uvs, np.float32))

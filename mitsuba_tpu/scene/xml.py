@@ -660,6 +660,20 @@ class _Loader:
                 p.get("p1", np.asarray([0, 0, 1], np.float32)),
                 float(p.get("radius", 1.0)),
             )
+        elif typ == "hair":
+            # src/shapes/hair.cpp: fiber curves -> triangle tubes at load
+            from ..io import hair as hairlib
+            strands = hairlib.read_hair(self.base / p["filename"])
+            radius = float(p.get("radius", 0.025))
+            red = float(p.get("reduction", 0.0))
+            if red > 0:
+                rng = np.random.RandomState(0)
+                strands = [st for st in strands if rng.rand() >= red]
+            v, f, n, uv = shapelib.hair_tubes(strands, radius)
+            mat_id, _ = self._shape_material(node)
+            v2, n2 = shapelib.apply_transform(to_world, v, n)
+            self.add_mesh(v2, f, mat_id, normals=n2, uvs=uv)
+            return
         elif typ in ("obj", "ply", "serialized"):
             from ..io import mesh as meshlib
 

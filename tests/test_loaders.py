@@ -645,3 +645,51 @@ def test_mipmap_trilinear_antialiasing(tmp_path):
     # variances are additive over the shared lighting-noise floor: the
     # checker contribution must show up only in the no-mip render
     assert vals2.var() > vals.var() + 0.015, (vals2.var(), vals.var())
+
+
+def test_hair_shape(tmp_path):
+    """hair.cpp parity: ASCII + binary fiber files tessellate to tubes
+    that render."""
+    import struct
+    from mitsuba_tpu.io import hair as hairlib
+    # ascii: two fibers
+    (tmp_path / "h.hair").write_text(
+        "0 0 0\n0 1 0\n0 2 0\n#\n1 0 0\n1 1 0.2\n")
+    strands = hairlib.read_hair(tmp_path / "h.hair")
+    assert len(strands) == 2 and len(strands[0]) == 3
+    # binary roundtrip
+    buf = b"BINARY_HAIR" + struct.pack("<I", 5)
+    buf += struct.pack("<4f", float("inf"), 0, 0, 0)
+    buf += struct.pack("<3f", 0, 1, 0)
+    buf += struct.pack("<4f", float("inf"), 1, 0, 0)
+    buf += struct.pack("<3f", 1, 1, 0)
+    buf += struct.pack("<3f", 1, 2, 0)
+    (tmp_path / "b.hair").write_bytes(buf)
+    sb = hairlib.read_hair(tmp_path / "b.hair")
+    assert len(sb) == 2 and len(sb[1]) == 3
+
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="direct"/>
+    <sensor type="perspective">
+        <transform name="toWorld">
+            <lookat origin="0, 1, 4" target="0, 1, 0" up="0, 1, 0"/>
+        </transform>
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <shape type="hair">
+        <string name="filename" value="h.hair"/>
+        <float name="radius" value="0.1"/>
+    </shape>
+    <emitter type="constant"><rgb name="radiance" value="1,1,1"/></emitter>
+</scene>
+""")
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    # 2 fibers: (3 + 2) rings * 4 sides verts; (2 + 1) segs * 8 tris
+    assert scene.num_triangles == (2 + 1) * 8
+    from mitsuba_tpu.integrators import common, direct
+    img = np.asarray(common.render_jit(scene, cam, direct.li, cfg))
+    assert np.isfinite(img).all() and img.mean() > 0.01

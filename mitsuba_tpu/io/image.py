@@ -301,8 +301,14 @@ def read_png(path) -> np.ndarray:
         img = np.repeat(img[..., :1], 3, -1)
     elif nch == 4:
         img = img[..., :3]
-    # sRGB -> linear (bitmap.cpp converts gamma on load)
-    return np.where(img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
+    return srgb_to_linear(img)
+
+
+def srgb_to_linear(img: np.ndarray) -> np.ndarray:
+    """sRGB -> linear (bitmap.cpp converts gamma on load)."""
+    img = np.asarray(img, np.float32)
+    return np.where(img <= 0.04045, img / 12.92,
+                    ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
 
 
 def read_auto(path) -> np.ndarray:
@@ -319,7 +325,32 @@ def read_auto(path) -> np.ndarray:
         return read_png(p)
     if p.endswith(".hdr") or p.endswith(".rgbe"):
         return read_rgbe(p)
+    if p.lower().endswith((".jpg", ".jpeg", ".ppm", ".tga", ".bmp", ".gif")):
+        return _read_pil(p)
     raise ValueError(f"unsupported image format: {p}")
+
+
+def _read_pil(path) -> np.ndarray:
+    """LDR formats the reference reads through libjpeg & friends
+    (bitmap.cpp EJPEG/EPPM/ETGA/EBMP); decoded with Pillow here and
+    sRGB-linearized like read_png."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise ValueError(
+            f"reading {path} requires Pillow, which is unavailable") from e
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return srgb_to_linear(img)
+
+
+def write_ldr_pil(path, img: np.ndarray, tonemap: bool = True):
+    """JPEG/PPM/TGA/BMP writer via Pillow (bitmap.cpp write analog)."""
+    from PIL import Image
+    arr = np.asarray(img, np.float32)
+    if tonemap:
+        arr = tonemap_srgb(arr)
+    arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(str(path))
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +431,8 @@ def write_image(path, img) -> None:
         write_png(p, img)
     elif p.endswith(".npy"):
         write_npy(p, img)
+    elif p.lower().endswith((".jpg", ".jpeg", ".ppm", ".tga", ".bmp")):
+        write_ldr_pil(p, img)
     elif p.endswith(".hdr") or p.endswith(".rgbe"):
         write_rgbe(p, img)
     else:

@@ -693,3 +693,19 @@ def test_hair_shape(tmp_path):
     from mitsuba_tpu.integrators import common, direct
     img = np.asarray(common.render_jit(scene, cam, direct.li, cfg))
     assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_ldr_formats_roundtrip(tmp_path):
+    """JPEG/PPM/TGA/BMP via Pillow (bitmap.cpp's libjpeg & friends)."""
+    from mitsuba_tpu.io import image as imagelib
+    # smooth gradient (JPEG is lossy; random noise would not survive)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16),
+                         indexing="ij")
+    img = np.stack([xx, yy, 0.5 * (xx + yy)], -1).astype(np.float32)
+    for ext, tol in (("bmp", 0.02), ("ppm", 0.02), ("tga", 0.02),
+                     ("jpg", 0.06)):
+        p = tmp_path / f"t.{ext}"
+        imagelib.write_ldr_pil(p, img)
+        back = imagelib.read_auto(str(p))
+        assert back.shape == img.shape
+        assert np.abs(back - img).mean() < tol, ext

@@ -25,7 +25,7 @@ def build_argparser():
         prog="mitsuba_tpu",
         description="TPU-native Monte Carlo renderer (Mitsuba-compatible scenes)",
     )
-    ap.add_argument("scene", help="scene XML file")
+    ap.add_argument("scene", nargs="+", help="scene XML file(s)")
     ap.add_argument("-o", "--output", default=None, help="output image file")
     ap.add_argument("-D", action="append", default=[], metavar="key=value",
                     help="define a scene parameter ($key substitution)")
@@ -36,6 +36,9 @@ def build_argparser():
                     help="override integrator (path/direct/volpath/depth/normal/ao)")
     ap.add_argument("--mesh", default=None, metavar="DP,SP",
                     help="device mesh shape for multi-chip rendering")
+    ap.add_argument("-j", "--jobs", type=int, default=1,
+                    help="render multiple scenes concurrently (mitsuba.cpp"
+                         " -j; JAX dispatch overlaps host-side work)")
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging without a TPU)")
@@ -83,6 +86,29 @@ def resolve_integrator(name: str):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if len(args.scene) > 1:
+        # multi-scene batch (mitsuba.cpp -j): thread pool overlaps the
+        # host-side scene loading / dispatch; device work serializes on
+        # the single accelerator but stays queued back-to-back
+        import concurrent.futures as cf
+        import copy
+
+        def one(scene_path):
+            a = copy.copy(args)
+            a.scene = [scene_path]
+            if args.output:
+                base, ext = args.output.rsplit(".", 1)
+                stem = scene_path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                a.output = f"{base}_{stem}.{ext}"
+            return _render_one(a)
+
+        with cf.ThreadPoolExecutor(max_workers=max(args.jobs, 1)) as ex:
+            list(ex.map(one, args.scene))
+        return
+    _render_one(args)
+
+
+def _render_one(args):
     t0 = time.time()
 
     if args.cpu:
@@ -102,9 +128,10 @@ def main(argv=None):
     from .scene import xml as xmllib
 
     import os
-    if not os.path.exists(args.scene):
-        raise SystemExit(f"scene file not found: {args.scene}")
-    scene, cam, cfg, integ_name = xmllib.load_xml(args.scene, defaults=defaults)
+    scene_path = args.scene[0] if isinstance(args.scene, list) else args.scene
+    if not os.path.exists(scene_path):
+        raise SystemExit(f"scene file not found: {scene_path}")
+    scene, cam, cfg, integ_name = xmllib.load_xml(scene_path, defaults=defaults)
     if args.spp:
         cfg = cfg.__class__(**{**cfg.__dict__, "spp": args.spp})
     if args.depth:
@@ -174,7 +201,7 @@ def main(argv=None):
         from .io import image as imagelib
 
         outs = mclib.render(scene, cam, cfg)
-        stem = (args.output or (args.scene.rsplit(".", 1)[0] + ".exr"))
+        stem = (args.output or (scene_path.rsplit(".", 1)[0] + ".exr"))
         base, ext = stem.rsplit(".", 1)
         for ch, arr in outs.items():
             p = stem if ch == "radiance" else f"{base}_{ch}.{ext}"
@@ -202,7 +229,7 @@ def main(argv=None):
     import numpy as np
 
     img = np.asarray(img)
-    out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
+    out = args.output or (scene_path.rsplit(".", 1)[0] + ".exr")
     from .io import image as imagelib
 
     imagelib.write_image(out, img)

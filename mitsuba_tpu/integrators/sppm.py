@@ -248,7 +248,9 @@ def render(scene, cam, cfg: RenderConfig, n_passes: int = 8,
             )
             wi_local = m.to_local(gp["ns"][:, None, :], gp["wi"][:, None, :])
             sp_b = bsdflib.ShadePoint(*(
-                (x[:, None] if x.ndim == 1 else x[:, None, :]) for x in sp
+                (None if x is None
+                 else x[:, None] if x.ndim == 1 else x[:, None, :])
+                for x in sp
             ))
             f, _ = bsdflib.eval_pdf(sp_b, wi_local, wo_local, families)
             # photons arriving from behind the surface are rejected by the

@@ -23,6 +23,19 @@ detailed-balance kernels preserves the target):
     carries near-specular caustic chains A cannot make.
   C `lens perturbation` — mut_lens.h:36: exponentially distributed raster
     offset, re-trace the primary ray, reconnect to the remainder.
+  D `caustic perturbation` — mut_caustic.h:36 / mut_caustic.cpp:103-110:
+    perturb the direction out of v2 TOWARD the camera-visible vertex with
+    an exponentially distributed polar angle (Veach p.354 heuristic
+    theta range from the per-pixel solid angle), re-trace one edge to a
+    new v1, keep the deterministic eye connection. This moves the
+    camera-visible vertex by wiggling the INCOMING light direction —
+    the complementary move to C, and the one that keeps chains mixing on
+    near-specular caustic paths where C's acceptance collapses.
+  E `multi-chain perturbation` — mut_mchain.h:36: a lens perturbation
+    chained with a same-size angular perturbation of the following edge:
+    raster-offset v1, re-trace, then rotate the old v1->v2 direction by
+    an exponential polar angle, re-trace v2, reconnect v2->v3. Moves two
+    vertices at once (the E S D S D... regime of Veach fig. 11.8).
 
 Acceptance uses the exact per-kernel transition densities (products of
 area-measure BSDF/camera/light pdfs); f(path) is re-evaluated from the
@@ -34,9 +47,12 @@ Scope notes (documented limitations vs the reference MLT):
 * paths terminate on AREA emitters (env/delta-lit scenes: use pssmlt);
 * perfectly-specular (delta) interior vertices are excluded — their
   Dirac factors need the manifold walk (manifold.cpp); near-specular
-  rough lobes work and cover the caustic regime;
-* the multi-chain + manifold perturbations (mut_mchain.h, mut_manifold.h)
-  are not implemented.
+  rough lobes work and cover the caustic regime. Because delta-vertex
+  paths have zero target density here, D/E never need the deterministic
+  specular-chain retrace of the reference (all interior vertices are
+  rough), so their proposal kernels are symmetric angular offsets and
+  only geometry Jacobians enter the acceptance ratio;
+* the manifold perturbation (mut_manifold.h) is not implemented.
 """
 from __future__ import annotations
 
@@ -178,6 +194,13 @@ def _bsdf_area_pdf(scene, v_prev, v, prim, v_next, prim_next):
     si_n, d_n, _ = _si_at(scene, v, v_next, prim_next)
     cos_n = jnp.abs(m.dot(d_n, si_n["ng"]))
     return pdf_sa * cos_n / d2
+
+
+def _geom_jac(scene, v_from, v_to, prim_to):
+    """Solid-angle -> area Jacobian |cos| / d^2 at v_to seen from v_from
+    (the only asymmetric factor of the D/E angular proposal kernels)."""
+    si, d_in, dist = _si_at(scene, v_from, v_to, prim_to)
+    return jnp.abs(m.dot(d_in, si["ng"])) / jnp.maximum(dist * dist, 1e-12)
 
 
 def _cam_area_pdf(scene, cam, v1, prim1):
@@ -366,9 +389,10 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
         kk, mode_i = inp
         k1, k2, k3, k4 = jax.random.split(kk, 4)
         n = n_chains
-        is_A = mode_i == 0
         is_B = mode_i == 1
         is_C = mode_i == 2
+        is_D = mode_i == 3
+        is_E = mode_i == 4
         mode_hit = jnp.broadcast_to(is_B, (n,))
 
         # ---- propose ----
@@ -401,10 +425,63 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
                                                 prim_x[:, 1]))
         ok_cc = its1.valid & (pxn >= 0) & (pxn < w) & (pyn >= 0) & (pyn < h)
 
-        pos_y = jnp.where(is_C, pos_cc, pos_ab)
-        prim_y = jnp.where(is_C, prim_cc, prim_ab)
-        k_y = jnp.where(is_C, k_x, k_ab)
-        ok_y = jnp.where(is_C, ok_cc, ok_ab)
+        # D: caustic perturbation — exponential polar offset of the
+        # v2->v1 direction (Veach p.354: theta range scaled from the
+        # per-pixel angle), one-edge retrace, deterministic eye link
+        u2 = jax.random.uniform(k3, (n, 4))
+        rpp = jnp.deg2rad(cam.fov_x) / jnp.float32(w)   # rad per pixel
+        th1 = 0.25 * rpp
+        th2 = rpp * jnp.sqrt(0.05 * w * h / jnp.pi)
+        theta = th2 * jnp.exp(-jnp.log(th2 / th1) * u2[:, 2])
+        sphi = 2.0 * jnp.pi * u2[:, 3]
+        offs = jnp.stack([jnp.sin(theta) * jnp.cos(sphi),
+                          jnp.sin(theta) * jnp.sin(sphi),
+                          jnp.cos(theta)], axis=-1)
+        wo_old = m.normalize(pos_x[:, 1] - pos_x[:, 2])
+        wo_new = m.to_world(wo_old, offs)
+        its_d = trace.closest_hit(scene, pos_x[:, 2], wo_new)
+        v1d = pos_x[:, 2] + its_d.t[:, None] * wo_new
+        pos_dd = pos_x.at[:, 1].set(
+            jnp.where(its_d.valid[:, None], v1d, pos_x[:, 1]))
+        prim_dd = prim_x.at[:, 1].set(
+            jnp.where(its_d.valid, its_d.prim, prim_x[:, 1]))
+        ok_dd = its_d.valid & (k_x >= 2)
+
+        # E: multi-chain — lens offset of v1 chained with a same-kernel
+        # angular offset of the old v1->v2 direction, retrace both,
+        # reconnect v2->v3 (mut_mchain.h:36)
+        r_e = r2 * jnp.exp(-jnp.log(r2 / r1) * u2[:, 0])
+        phi_e = 2.0 * jnp.pi * u2[:, 1]
+        pxe = px0 + r_e * jnp.cos(phi_e)
+        pye = py0 + r_e * jnp.sin(phi_e)
+        o_e, d_e, _ = sensorlib.sample_rays(cam, pxe, pye,
+                                            jnp.zeros((n, 2)))
+        its_e1 = trace.closest_hit(scene, o_e, d_e)
+        v1e = o_e + its_e1.t[:, None] * d_e
+        wo12_old = m.normalize(pos_x[:, 2] - pos_x[:, 1])
+        wo12_new = m.to_world(wo12_old, offs)
+        its_e2 = trace.closest_hit(scene, v1e, wo12_new)
+        v2e = v1e + its_e2.t[:, None] * wo12_new
+        ok_ee = (its_e1.valid & its_e2.valid & (k_x >= 3)
+                 & (pxe >= 0) & (pxe < w) & (pye >= 0) & (pye < h))
+        okm = ok_ee[:, None]
+        pos_ee = pos_x.at[:, 1].set(jnp.where(okm, v1e, pos_x[:, 1])
+                                    ).at[:, 2].set(
+                                        jnp.where(okm, v2e, pos_x[:, 2]))
+        prim_ee = prim_x.at[:, 1].set(
+            jnp.where(ok_ee, its_e1.prim, prim_x[:, 1])).at[:, 2].set(
+                jnp.where(ok_ee, its_e2.prim, prim_x[:, 2]))
+
+        pos_y = jnp.where(is_C, pos_cc,
+                          jnp.where(is_D, pos_dd,
+                                    jnp.where(is_E, pos_ee, pos_ab)))
+        prim_y = jnp.where(is_C, prim_cc,
+                           jnp.where(is_D, prim_dd,
+                                     jnp.where(is_E, prim_ee, prim_ab)))
+        k_y = jnp.where(is_C | is_D | is_E, k_x, k_ab)
+        ok_y = jnp.where(is_C, ok_cc,
+                         jnp.where(is_D, ok_dd,
+                                   jnp.where(is_E, ok_ee, ok_ab)))
 
         # ---- evaluate + accept ----
         f_y, l_y, px_y = eval_path(scene, cam, pos_y, prim_y, k_y, K)
@@ -423,8 +500,19 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
                                 k_y.astype(jnp.float32), 1.0)
         jac_y = _cam_area_pdf(scene, cam, pos_y[:, 1], prim_y[:, 1])
         jac_x = _cam_area_pdf(scene, cam, pos_x[:, 1], prim_x[:, 1])
-        t_xy = jnp.where(is_C, jac_y, t_xy_ab)
-        t_yx = jnp.where(is_C, jac_x, t_yx_ab)
+        # D: the exponential angular kernel is symmetric (same polar
+        # angle either way), only the angle->area Jacobian at v1 remains
+        g1_y = _geom_jac(scene, pos_y[:, 2], pos_y[:, 1], prim_y[:, 1])
+        g1_x = _geom_jac(scene, pos_x[:, 2], pos_x[:, 1], prim_x[:, 1])
+        # E: raster Jacobian at v1 times angle->area Jacobian at v2
+        g2_y = _geom_jac(scene, pos_y[:, 1], pos_y[:, 2], prim_y[:, 2])
+        g2_x = _geom_jac(scene, pos_x[:, 1], pos_x[:, 2], prim_x[:, 2])
+        t_xy = jnp.where(is_C, jac_y,
+                         jnp.where(is_D, g1_y,
+                                   jnp.where(is_E, jac_y * g2_y, t_xy_ab)))
+        t_yx = jnp.where(is_C, jac_x,
+                         jnp.where(is_D, g1_x,
+                                   jnp.where(is_E, jac_x * g2_x, t_yx_ab)))
 
         num = l_y * t_yx
         den = l_x * t_xy
@@ -451,9 +539,9 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
         return (pos_x, prim_x, k_x, f_x, l_x, px_x, img, acc), None
 
     img0 = jnp.zeros((w * h, 3))
-    acc0 = jnp.zeros((3,))
+    acc0 = jnp.zeros((5,))
     keys = jax.random.split(km, n_mutations)
-    modes = jnp.arange(n_mutations, dtype=jnp.int32) % 3
+    modes = jnp.arange(n_mutations, dtype=jnp.int32) % 5
     (_, _, _, _, _, _, img, acc), _ = jax.lax.scan(
         step, (pos_c, prim_c, k_c, f_c, l_c, px_c, img0, acc0),
         (keys, modes))
@@ -465,7 +553,7 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
     img = img.reshape(h, w, 3)
     if return_stats:
         per_mode = acc / jnp.maximum(
-            jnp.float32(n_mutations) / 3.0, 1.0)
+            jnp.float32(n_mutations) / 5.0, 1.0)
         return img, {"acceptance": per_mode, "b": b}
     return img
 

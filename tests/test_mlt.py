@@ -21,8 +21,10 @@ def test_mlt_matches_path_cornell():
     assert rel < 0.06, (img.mean(), ref.mean(), rel)
     acc = np.asarray(stats["acceptance"])
     # mutation-kernel health: every kernel accepts sometimes (B's target —
-    # hitting the light by BSDF tracing — is intrinsically rare)
-    assert acc[0] > 0.1 and acc[2] > 0.2 and acc[1] > 0.0, acc
+    # hitting the light by BSDF tracing — is intrinsically rare); the
+    # perturbations C/D/E should mix well on diffuse Cornell
+    assert acc[0] > 0.1 and acc[1] > 0.0, acc
+    assert acc[2] > 0.2 and acc[3] > 0.2 and acc[4] > 0.1, acc
     assert float(stats["b"]) > 0
 
 

@@ -68,10 +68,13 @@ def trace_volume_photons(scene, cfg: RenderConfig, n_paths: int, seed: int):
         pval.append(event)
         # continue by phase sampling
         u2 = jnp.stack([u(12 + 8 * b), u(13 + 8 * b)], -1)
-        wo, _ = phaselib.sample(med.phase, med.g, -d, u2)
+        wo, pdf_ph = phaselib.sample(med.phase, med.g, -d, u2,
+                                     med.phase_params)
+        w_ph = phaselib.sample_weight(med.phase, med.g, -d, wo, pdf_ph,
+                                      med.phase_params)
         o = x
         d = jnp.where(event[:, None], wo, d)
-        beta = jnp.where(event[:, None], beta_evt, 0.0)
+        beta = jnp.where(event[:, None], beta_evt * w_ph[:, None], 0.0)
         active = event
     return (jnp.concatenate(ppos), jnp.concatenate(pdir),
             jnp.concatenate(ppow), jnp.concatenate(pval))
@@ -122,7 +125,8 @@ def render(scene, cam, cfg: RenderConfig, n_paths: int = 1 << 16,
             ph_val, ph_pdf = phaselib.eval_pdf(
                 med.phase, med.g,
                 -pdir[pidx].reshape(-1, 3),
-                jnp.broadcast_to(d[:, None, :], pdir[pidx].shape).reshape(-1, 3))
+                jnp.broadcast_to(d[:, None, :], pdir[pidx].shape).reshape(-1, 3),
+                med.phase_params)
             ph = ph_val.reshape(mask.shape)
             contrib = ppow[pidx] * ph[..., None]
             return acc + jnp.sum(

@@ -77,7 +77,8 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
             pdf_s = jnp.zeros((n,))
         # phaselib's wi convention = toward the previous vertex, which is
         # exactly what nee() receives in wi_world
-        ph_v, ph_pdf = phaselib.eval_pdf(med.phase, med.g, wi_world, ds.d)
+        ph_v, ph_pdf = phaselib.eval_pdf(med.phase, med.g, wi_world, ds.d,
+                                         med.phase_params)
         f = jnp.where(is_medium_lane[:, None], ph_v[:, None] * jnp.ones(3), f_s)
         pdf_fwd = jnp.where(is_medium_lane, ph_pdf, pdf_s)
         # beta>0 gate: zero-throughput lanes (e.g. near-vacuum medium events
@@ -149,8 +150,13 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
                     medium_lane & can_continue, jnp.ones((n,), bool))
         u2_ph = jnp.stack([medium_u(t, 2), medium_u(t, 3)], -1)
         # phaselib.sample takes wi pointing toward the previous vertex (-d);
-        # the sample weight is 1 (exact importance sampling)
-        wo_m, pdf_ph = phaselib.sample(med.phase, med.g, -d, u2_ph)
+        # the sample weight is 1 for the exactly-sampled kinds and
+        # value/pdf for kkay/mixture (statically elided otherwise)
+        wo_m, pdf_ph = phaselib.sample(med.phase, med.g, -d, u2_ph,
+                                       med.phase_params)
+        w_ph = phaselib.sample_weight(med.phase, med.g, -d, wo_m, pdf_ph,
+                                      med.phase_params)
+        beta_m_cont = beta_m * w_ph[:, None]
 
         # === surface event ===============================================
         sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"], aux=si)
@@ -169,7 +175,8 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
             p_s + ng * jnp.where(m.dot(d_s, ng) > 0, RAY_EPS, -RAY_EPS)[:, None],
         )
         new_d = jnp.where(medium_lane[:, None], wo_m, d_s)
-        new_beta = jnp.where(medium_lane[:, None], beta_m, beta_s * weight_s)
+        new_beta = jnp.where(medium_lane[:, None], beta_m_cont,
+                             beta_s * weight_s)
         new_pdf = jnp.where(medium_lane, pdf_ph, pdf_b)
         new_delta = jnp.where(medium_lane, jnp.zeros((n,), bool), is_delta)
 

@@ -34,10 +34,13 @@ class Medium:
     box_max: jax.Array = None          # (3,)
     kind: int = struct.field(pytree_node=False, default=MEDIUM_HOMOGENEOUS)
     phase: int = struct.field(pytree_node=False, default=phaselib.PHASE_HG)
+    # static parameter tuple for kkay/mixture phases (phase.py docstring)
+    phase_params: tuple = struct.field(pytree_node=False, default=())
 
 
 def make_homogeneous(sigma_s, sigma_a, g=0.0,
-                     phase: int = phaselib.PHASE_HG) -> Medium:
+                     phase: int = phaselib.PHASE_HG,
+                     phase_params: tuple = ()) -> Medium:
     sigma_s = jnp.asarray(sigma_s, jnp.float32)
     sigma_a = jnp.asarray(sigma_a, jnp.float32)
     sigma_t = sigma_s + sigma_a
@@ -46,13 +49,14 @@ def make_homogeneous(sigma_s, sigma_a, g=0.0,
         sigma_t=sigma_t, albedo=albedo, g=jnp.float32(g),
         density=jnp.ones((1, 1, 1), jnp.float32),
         box_min=jnp.zeros(3, jnp.float32), box_max=jnp.ones(3, jnp.float32),
-        kind=MEDIUM_HOMOGENEOUS, phase=phase,
+        kind=MEDIUM_HOMOGENEOUS, phase=phase, phase_params=phase_params,
     )
 
 
 def make_grid(density: np.ndarray, sigma_t_scale, albedo, g=0.0,
               box_min=(0, 0, 0), box_max=(1, 1, 1),
-              phase: int = phaselib.PHASE_HG) -> Medium:
+              phase: int = phaselib.PHASE_HG,
+              phase_params: tuple = ()) -> Medium:
     """Heterogeneous medium: sigma_t(x) = density(x) * sigma_t_scale."""
     return Medium(
         sigma_t=jnp.asarray(sigma_t_scale, jnp.float32) * jnp.ones(3),
@@ -61,7 +65,7 @@ def make_grid(density: np.ndarray, sigma_t_scale, albedo, g=0.0,
         density=jnp.asarray(density, jnp.float32),
         box_min=jnp.asarray(box_min, jnp.float32),
         box_max=jnp.asarray(box_max, jnp.float32),
-        kind=MEDIUM_GRID, phase=phase,
+        kind=MEDIUM_GRID, phase=phase, phase_params=phase_params,
     )
 
 

@@ -1,14 +1,28 @@
-"""Phase functions: isotropic + Henyey-Greenstein (+ Rayleigh).
+"""Phase functions: isotropic, Henyey-Greenstein, Rayleigh, Kajiya-Kay,
+and weighted mixtures.
 
-TPU-native analog of src/phase/{isotropic.cpp,hg.cpp,rayleigh.cpp} and the
-PhaseFunction interface (include/mitsuba/render/phase.h:117,146-177).
+TPU-native analog of src/phase/{isotropic,hg,rayleigh,kkay,
+mixturephase}.cpp and the PhaseFunction interface
+(include/mitsuba/render/phase.h:117,146-177).
 Directions follow the flow convention: `wi` points toward the incoming
 direction's origin (like BSDF wi), `wo` is the outgoing scatter direction;
 HG's cos(theta) is taken between -wi and wo (forward scattering g > 0).
 All functions are batched; g is per-lane so mixed media evaluate in one
 pass with masks.
+
+Parameterized kinds read a STATIC `params` tuple (carried on
+Medium.phase_params, hashable so it jits as a compile-time constant):
+  kkay:    (ax, ay, az, ks, kd, exponent) — constant fiber axis; the
+           reference reads the axis from an orientation volume
+           (kkay.cpp eval uses mRec.orientation); the constvolume case
+           is what this covers, varying orientation volumes are not.
+  mixture: (kind_a, weight_a, g_a, kind_b, weight_b, g_b) — a two-
+           component mixture of the analytic kinds above
+           (mixturephase.cpp with N=2; nesting disallowed there too).
 """
 from __future__ import annotations
+
+import math as pymath
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +34,8 @@ INV_FOURPI = 1.0 / (4.0 * jnp.pi)
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
+PHASE_KKAY = 3
+PHASE_MIXTURE = 4
 
 
 def hg_eval(g: jax.Array, cos_theta: jax.Array) -> jax.Array:
@@ -33,9 +49,37 @@ def rayleigh_eval(cos_theta: jax.Array) -> jax.Array:
     return (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_theta * cos_theta)
 
 
-def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array):
+def _kkay_norm(exponent: float) -> float:
+    """1 / (2 pi Int_0^pi sin^(e+1) theta dtheta): the perpendicular-
+    illumination normalization kkay.cpp computes by Simpson quadrature —
+    here the closed form via the Wallis integral (Gamma functions)."""
+    e = float(exponent)
+    integral = (pymath.sqrt(pymath.pi) * pymath.gamma(0.5 * e + 1.0)
+                / pymath.gamma(0.5 * e + 1.5))
+    return 1.0 / (2.0 * pymath.pi * integral)
+
+
+def kkay_eval(params, wi: jax.Array, wo: jax.Array) -> jax.Array:
+    """Kajiya-Kay fiber phase (kkay.cpp eval): diffuse kd/4pi plus a
+    specular cone about the fiber axis — wo's component along the axis
+    replaced by the mirrored -wi one, renormalized, raised to exponent."""
+    ax, ay, az, ks, kd, exponent = params
+    axis = m.normalize(jnp.asarray([ax, ay, az], jnp.float32))
+    wo_par = m.dot(wo, axis)
+    perp = wo - wo_par[..., None] * axis
+    refl_par = -m.dot(wi, axis)
+    a = jnp.sqrt(m.safe_div(1.0 - refl_par * refl_par,
+                            jnp.maximum(m.dot(perp, perp), 1e-12)))
+    r_vec = perp * a[..., None] + refl_par[..., None] * axis
+    spec = jnp.maximum(m.dot(r_vec, wo), 0.0) ** exponent
+    return spec * (_kkay_norm(exponent) * ks) + kd * INV_FOURPI
+
+
+def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
+             params: tuple = ()):
     """Returns (value, pdf) — equal for isotropic/HG (perfect importance
-    sampling); Rayleigh is sampled exactly too (inversion of the cubic)."""
+    sampling); Rayleigh is sampled exactly too (inversion of the cubic);
+    kkay is sampled uniformly (kkay.cpp pdf), so value != pdf there."""
     ct = m.dot(-wi, wo)
     if kind == PHASE_ISOTROPIC:
         v = jnp.full(ct.shape, INV_FOURPI)
@@ -46,12 +90,44 @@ def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array):
     if kind == PHASE_RAYLEIGH:
         v = rayleigh_eval(ct)
         return v, v
+    if kind == PHASE_KKAY:
+        v = kkay_eval(params, wi, wo)
+        return v, jnp.full(ct.shape, INV_FOURPI)
+    if kind == PHASE_MIXTURE:
+        ka, wa, ga, kb, wb, gb = params
+        va, pa = eval_pdf(int(ka), jnp.float32(ga), wi, wo)
+        vb, pb = eval_pdf(int(kb), jnp.float32(gb), wi, wo)
+        wsum = wa + wb
+        return va * wa + vb * wb, (pa * wa + pb * wb) / wsum
     raise ValueError(f"unknown phase kind {kind}")
 
 
-def sample(kind: int, g: jax.Array, wi: jax.Array, u2: jax.Array):
-    """Sample wo ~ phase(-wi, .). Returns (wo, pdf). Weight is always 1
-    (phase functions normalize to 1 and we sample them exactly)."""
+def sample(kind: int, g: jax.Array, wi: jax.Array, u2: jax.Array,
+           params: tuple = ()):
+    """Sample wo ~ phase(-wi, .). Returns (wo, pdf). Weight is 1 for the
+    exactly-sampled kinds; kkay/mixture callers must apply value/pdf
+    (see sample_weight) — kkay is uniform-sphere sampled like kkay.cpp,
+    a mixture samples one component and pdf-mixes over both."""
+    if kind == PHASE_KKAY:
+        z = 1.0 - 2.0 * u2[..., 0]
+        r = m.safe_sqrt(1.0 - z * z)
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        wo = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+        return wo, jnp.full(u2.shape[:-1], INV_FOURPI)
+    if kind == PHASE_MIXTURE:
+        ka, wa, ga, kb, wb, gb = params
+        p_a = wa / (wa + wb)
+        pick_a = u2[..., 0] < p_a
+        # reuse the selection number: conditionally rescaled, it is again
+        # uniform on [0,1) (mixturephase.cpp uses a separate next1D)
+        u0 = jnp.where(pick_a, u2[..., 0] / p_a,
+                       (u2[..., 0] - p_a) / max(1.0 - p_a, 1e-9))
+        u2r = jnp.stack([u0, u2[..., 1]], axis=-1)
+        wo_a, _ = sample(int(ka), jnp.float32(ga), wi, u2r)
+        wo_b, _ = sample(int(kb), jnp.float32(gb), wi, u2r)
+        wo = jnp.where(pick_a[..., None], wo_a, wo_b)
+        _, pdf = eval_pdf(kind, g, wi, wo, params)
+        return wo, pdf
     if kind == PHASE_ISOTROPIC:
         z = 1.0 - 2.0 * u2[..., 0]
         r = m.safe_sqrt(1.0 - z * z)
@@ -82,3 +158,14 @@ def sample(kind: int, g: jax.Array, wi: jax.Array, u2: jax.Array):
         wo = m.to_world(-wi, local)
         return wo, rayleigh_eval(ct)
     raise ValueError(f"unknown phase kind {kind}")
+
+
+def sample_weight(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
+                  pdf: jax.Array, params: tuple = ()):
+    """Throughput factor value/pdf for a direction drawn by sample().
+    Statically 1 for the exactly-sampled kinds, so integrators pay the
+    extra eval only when a kkay/mixture medium is actually present."""
+    if kind in (PHASE_ISOTROPIC, PHASE_HG, PHASE_RAYLEIGH):
+        return jnp.ones(pdf.shape)
+    v, _ = eval_pdf(kind, g, wi, wo, params)
+    return m.safe_div(v, jnp.maximum(pdf, 1e-12))

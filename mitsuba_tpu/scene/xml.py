@@ -189,6 +189,43 @@ class _Loader:
         self.medium_ids: dict = {}     # id -> Medium (for <ref>)
 
     # --- media ---------------------------------------------------------
+    def _convert_phase(self, child):
+        """<phase type="..."> -> (kind, g, static params tuple)
+        (src/phase/ plugin parity; see models/phase.py docstring)."""
+        from ..models import phase as phaselib
+
+        pt = child.attrib["type"]
+        pp = _props(child, self.subst)
+        if pt == "hg":
+            return phaselib.PHASE_HG, float(pp.get("g", 0.0)), ()
+        if pt == "isotropic":
+            return phaselib.PHASE_ISOTROPIC, 0.0, ()
+        if pt == "rayleigh":
+            return phaselib.PHASE_RAYLEIGH, 0.0, ()
+        if pt == "kkay":
+            ax = pp.get("orientation", [0.0, 0.0, 1.0])
+            params = (float(ax[0]), float(ax[1]), float(ax[2]),
+                      float(pp.get("ks", 0.4)), float(pp.get("kd", 0.2)),
+                      float(pp.get("exponent", 4.0)))
+            return phaselib.PHASE_KKAY, 0.0, params
+        if pt == "mixturephase":
+            weights = [float(w) for w in
+                       str(pp.get("weights", "")).replace(",", " ").split()]
+            kids = [c for c in child if c.tag == "phase"]
+            if len(kids) != 2 or len(weights) != 2:
+                raise ValueError(
+                    "mixturephase needs exactly two nested <phase> children "
+                    "and a 2-entry weights string")
+            (ka, ga, pa), (kb, gb, pb) = (self._convert_phase(k)
+                                          for k in kids)
+            if pa or pb or phaselib.PHASE_MIXTURE in (ka, kb):
+                raise ValueError("mixturephase children must be analytic "
+                                 "(isotropic/hg/rayleigh), not nested "
+                                 "mixtures or kkay")
+            return (phaselib.PHASE_MIXTURE, 0.0,
+                    (ka, weights[0], ga, kb, weights[1], gb))
+        raise ValueError(f"unsupported phase plugin '{pt}'")
+
     def convert_medium(self, node):
         """<medium type="homogeneous|heterogeneous"> -> models.medium.Medium
         (medium.h:120 plugin parity). Heterogeneous parses a nested
@@ -199,19 +236,10 @@ class _Loader:
         p = _props(node, self.subst)
         g = 0.0
         phase = phaselib.PHASE_ISOTROPIC
+        phase_params: tuple = ()
         for child in node:
             if child.tag == "phase":
-                pt = child.attrib["type"]
-                pp = _props(child, self.subst)
-                if pt == "hg":
-                    phase = phaselib.PHASE_HG
-                    g = float(pp.get("g", 0.0))
-                elif pt == "isotropic":
-                    phase = phaselib.PHASE_ISOTROPIC
-                elif pt == "rayleigh":
-                    phase = phaselib.PHASE_RAYLEIGH
-                else:
-                    raise ValueError(f"unsupported phase plugin '{pt}'")
+                phase, g, phase_params = self._convert_phase(child)
         scale = float(p.get("scale", 1.0))
         if typ == "homogeneous":
             if "sigmaT" in p:
@@ -222,7 +250,8 @@ class _Loader:
             else:
                 sig_s = np.asarray(p.get("sigmaS", [1.0] * 3), np.float32) * scale
                 sig_a = np.asarray(p.get("sigmaA", [0.1] * 3), np.float32) * scale
-            med = medlib.make_homogeneous(sig_s, sig_a, g=g, phase=phase)
+            med = medlib.make_homogeneous(sig_s, sig_a, g=g, phase=phase,
+                                          phase_params=phase_params)
         elif typ == "heterogeneous":
             dens = None
             box_min, box_max = (0, 0, 0), (1, 1, 1)
@@ -252,7 +281,7 @@ class _Loader:
                 alb = np.asarray(alb, np.float32)
             med = medlib.make_grid(dens, scale, alb, g=g,
                                    box_min=box_min, box_max=box_max,
-                                   phase=phase)
+                                   phase=phase, phase_params=phase_params)
         else:
             raise ValueError(f"unsupported medium plugin '{typ}'")
         if "id" in node.attrib:

@@ -6,6 +6,7 @@ TPU-native analog of the reference's `mtsutil` plugin runner
   tonemap    — HDR -> LDR conversion (tonemap.cpp)
   addimages  — weighted sum of two images (addimages.cpp)
   joinrgb    — merge three single-channel images into RGB (joinrgb.cpp)
+  mtsimport  — COLLADA .dae -> scene XML + .serialized (mtsimport.cpp)
 """
 from __future__ import annotations
 
@@ -119,11 +120,56 @@ def tool_joinrgb(argv):
     print(f"wrote {args.output}")
 
 
+def tool_mtsimport(argv):
+    """COLLADA -> scene conversion (src/converter/mtsimport.cpp analog):
+    parse the .dae, write the meshes as one .serialized file and a scene
+    XML referencing them with a default sensor + constant light."""
+    ap = argparse.ArgumentParser(prog="mtsutil mtsimport")
+    ap.add_argument("dae", help="input COLLADA .dae file")
+    ap.add_argument("out", help="output scene .xml path")
+    ap.add_argument("--fov", type=float, default=45.0)
+    args = ap.parse_args(argv)
+    from pathlib import Path
+
+    from .io import collada, serialized as serlib
+
+    meshes = collada.load_dae(args.dae)
+    if not meshes:
+        raise SystemExit(f"no triangle geometry found in {args.dae}")
+    out = Path(args.out)
+    ser = out.with_suffix(".serialized")
+    serlib.write_serialized(ser, meshes)
+
+    shapes = "\n".join(
+        f'    <shape type="serialized">\n'
+        f'        <string name="filename" value="{ser.name}"/>\n'
+        f'        <integer name="shapeIndex" value="{i}"/>\n'
+        f'        <bsdf type="diffuse"/>\n'
+        f'    </shape>' for i in range(len(meshes)))
+    out.write_text(f"""<scene version="0.6.0">
+    <integrator type="path"/>
+    <sensor type="perspective">
+        <float name="fov" value="{args.fov}"/>
+        <film type="hdrfilm">
+            <integer name="width" value="256"/>
+            <integer name="height" value="256"/>
+        </film>
+    </sensor>
+    <emitter type="constant"><rgb name="radiance" value="1, 1, 1"/></emitter>
+{shapes}
+</scene>
+""")
+    total = sum(len(m.indices) for m in meshes)
+    print(f"imported {len(meshes)} mesh(es), {total} triangles -> "
+          f"{out} + {ser.name}")
+
+
 TOOLS = {
     "kdbench": tool_kdbench,
     "tonemap": tool_tonemap,
     "addimages": tool_addimages,
     "joinrgb": tool_joinrgb,
+    "mtsimport": tool_mtsimport,
 }
 
 

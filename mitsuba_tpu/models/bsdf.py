@@ -118,8 +118,22 @@ def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
             reflectance=nrefl, specular=nspec, eta=neta, k=nkk,
             alpha=nalpha, extra=nextra,
         )
+    types = jnp.round(typef[:, 0]).astype(jnp.int32)
+    if (int(jnp.ndim(mat)) and ir.BSDF_IRAWAN in scene.bsdf_families
+            and scene.cloth is not None):
+        # woven-cloth lanes: uv -> yarn-segment lookup packs the irawan
+        # parameters into the generic fields (models/cloth.py gather_yarn)
+        from . import cloth as clothlib
+        over = clothlib.gather_yarn(scene.cloth, mat, uv)
+        is_cloth = (types == ir.BSDF_IRAWAN)[:, None]
+        refl = jnp.where(is_cloth, over["reflectance"], refl)
+        spec = jnp.where(is_cloth, over["specular"], spec)
+        eta = jnp.where(is_cloth, over["eta"], eta)
+        kk = jnp.where(is_cloth, over["k"], kk)
+        alpha = jnp.where(is_cloth, over["alpha"], alpha)
+        extra = jnp.where(is_cloth, over["extra"], extra)
     return ShadePoint(
-        type=jnp.round(typef[:, 0]).astype(jnp.int32),
+        type=types,
         reflectance=refl,
         specular=spec,
         eta=eta,
@@ -822,6 +836,23 @@ def _zero_eval(sp, wi, wo):
     return z, jnp.zeros(wi.shape[:-1], wi.dtype)
 
 
+def _irawan_eval(sp, wi, wo):
+    """src/bsdfs/irawan.cpp — woven cloth; parameters were packed into
+    the generic fields at gather time (models/cloth.py gather_yarn)."""
+    from . import cloth as clothlib
+
+    return clothlib.eval_packed(sp, wi, wo)
+
+
+def _irawan_sample(sp, wi, u_lobe, u2):
+    """Cosine-hemisphere sampling, weight = eval/pdf (irawan.cpp:354)."""
+    wo = warp.square_to_cosine_hemisphere(u2)
+    f, pdf = _irawan_eval(sp, wi, wo)
+    weight = jnp.where(pdf[..., None] > 1e-9,
+                       f / jnp.maximum(pdf[..., None], 1e-9), 0.0)
+    return wo, weight, pdf, jnp.zeros(pdf.shape, bool)
+
+
 _EVAL = {
     ir.BSDF_DIFFUSE: _diffuse_eval,
     ir.BSDF_ROUGH_CONDUCTOR: _rough_conductor_eval,
@@ -838,6 +869,7 @@ _EVAL = {
     ir.BSDF_THIN_DIELECTRIC: _zero_eval,
     ir.BSDF_NULL: _zero_eval,
     ir.BSDF_HK: _hk_eval,
+    ir.BSDF_IRAWAN: _irawan_eval,
 }
 
 _SAMPLE = {
@@ -856,6 +888,7 @@ _SAMPLE = {
     ir.BSDF_THIN_DIELECTRIC: _thin_dielectric_sample,
     ir.BSDF_NULL: _null_sample,
     ir.BSDF_HK: _hk_sample,
+    ir.BSDF_IRAWAN: _irawan_sample,
 }
 
 # Families whose sample() is (partly) a delta lobe.

@@ -47,6 +47,7 @@ BSDF_BLEND = 14
 BSDF_DIFFUSE_TRANSMITTER = 15
 BSDF_COATING = 16
 BSDF_HK = 17
+BSDF_IRAWAN = 18
 
 # Microfacet distribution sub-codes (microfacet.h EBeckmann/EGGX/EPhong)
 MICROFACET_BECKMANN = 0
@@ -252,6 +253,10 @@ class Scene:
 
     # Scene-global participating medium (None = vacuum; models/medium.py)
     medium: Any = None
+
+    # Irawan woven-cloth tables (None unless BSDF_IRAWAN materials exist;
+    # models/cloth.py ClothTables)
+    cloth: Any = None
 
     # Delta emitters (None = none; point/spot/directional)
     delta_emitters: Any = None

@@ -164,6 +164,10 @@ class _Loader:
         self.base = base_dir
         self.subst = subst
         self.materials: list[dict] = []
+        # irawan cloth: slot entries (pattern, repeatU, repeatV) and
+        # material-id -> slot map (models/cloth.py build_tables)
+        self.cloth_entries: list = []
+        self.cloth_slots: dict = {}
         self.mat_ids: dict[str, int] = {}
         self.textures: list[dict] = []
         self.verts: list = []
@@ -568,6 +572,32 @@ class _Loader:
             self.materials.append({"type": ir.BSDF_BLEND,
                                    "nested": [child, null_id],
                                    "extra": [op, 0.0, 0.0, 0.0]})
+            if "id" in node.attrib:
+                self.mat_ids[node.attrib["id"]] = mid
+            return mid
+        elif typ == "irawan":
+            # woven cloth (src/bsdfs/irawan.cpp): weave pattern file (or a
+            # named built-in preset) + repeatU/repeatV tiling
+            from ..models import cloth as clothlib
+
+            if "filename" in p:
+                text = (self.base / str(p["filename"])).read_text()
+            else:
+                preset = str(p.get("preset", "cotton"))
+                if preset not in clothlib.PRESETS:
+                    raise ValueError(f"unknown irawan preset '{preset}'")
+                text = clothlib.PRESETS[preset]
+            scalar_props = {k: v for k, v in p.items()
+                            if isinstance(v, (int, float))}
+            pat = clothlib.parse_weave(text, scalar_props)
+            clothlib.compute_normalization(pat)
+            slot = len(self.cloth_entries)
+            self.cloth_entries.append(
+                (pat, float(p.get("repeatU", 1.0)),
+                 float(p.get("repeatV", 1.0))))
+            mid = len(self.materials)
+            self.materials.append({"type": ir.BSDF_IRAWAN})
+            self.cloth_slots[mid] = slot
             if "id" in node.attrib:
                 self.mat_ids[node.attrib["id"]] = mid
             return mid
@@ -989,6 +1019,10 @@ def _finish(ld):
         )
     if ld.medium is not None:
         scene = scene.replace(medium=ld.medium)
+    if ld.cloth_entries:
+        from ..models import cloth as clothlib
+        scene = scene.replace(cloth=clothlib.build_tables(
+            ld.cloth_entries, len(ld.materials), ld.cloth_slots))
     # power-weighted (area, env, delta) emitter-group selection
     # (scene.cpp:131 m_emitterPDF analog; uniform split otherwise)
     from ..models import emitter as emitterlib

@@ -39,6 +39,11 @@ def build_argparser():
     ap.add_argument("-j", "--jobs", type=int, default=1,
                     help="render multiple scenes concurrently (mitsuba.cpp"
                          " -j; JAX dispatch overlaps host-side work)")
+    ap.add_argument("--time-bins", type=int, default=1, metavar="K",
+                    help="object motion blur: render K stratified shutter"
+                         " times (animated toWorldEnd / deformable shapes)"
+                         " and average; the scene pytree keeps its shapes"
+                         " so XLA compiles once")
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging without a TPU)")
@@ -223,6 +228,24 @@ def _render_one(args):
             )
         mesh = rs.make_mesh(dp * sp, sp=sp)
         img = rs.render_sharded_jit(scene, cam, li_fn, cfg, mesh)
+    elif args.time_bins > 1:
+        # time-binned object motion blur (deformable.cpp / track.h
+        # analog): each bin re-loads the scene at a stratified shutter
+        # time; identical pytree shapes -> one XLA compile, K executions
+        import numpy as np
+        acc = None
+        for b in range(args.time_bins):
+            tb = (b + 0.5) / args.time_bins
+            scene_b, cam_b, _, _ = xmllib.load_xml(
+                scene_path, defaults=defaults, time=tb)
+            if scene_b.num_triangles > 4096 and scene_b.bvh is None:
+                from .scene import bvh as bvhlib
+                scene_b = bvhlib.attach(scene_b)
+            cfg_b = cfg.__class__(**{**cfg.__dict__,
+                                     "seed": cfg.seed + b * 7919})
+            img_b = common.render_jit(scene_b, cam_b, li_fn, cfg_b)
+            acc = np.asarray(img_b) if acc is None else acc + np.asarray(img_b)
+        img = acc / args.time_bins
     else:
         img = common.render_jit(scene, cam, li_fn, cfg)
 

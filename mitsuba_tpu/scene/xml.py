@@ -107,6 +107,30 @@ def _substitute(s, subst):
     return s
 
 
+def _lerp_transform(m0: np.ndarray, m1: np.ndarray, t: float) -> np.ndarray:
+    """Interpolate two rigid(ish) transforms at time t (track.h
+    AnimatedTransform::eval): rotation via polar decomposition +
+    re-orthonormalized lerp (small-angle slerp equivalent), stretch and
+    translation lerped linearly."""
+    if t <= 0.0:
+        return np.asarray(m0, np.float32)
+    if t >= 1.0:
+        return np.asarray(m1, np.float32)
+
+    def polar(a):
+        u, s, vt = np.linalg.svd(a)
+        return u @ vt, vt.T @ np.diag(s) @ vt
+
+    r0, p0 = polar(m0[:3, :3])
+    r1, p1 = polar(m1[:3, :3])
+    u, _, vt = np.linalg.svd((1 - t) * r0 + t * r1)
+    r = u @ vt
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = r @ ((1 - t) * p0 + t * p1)
+    out[:3, 3] = (1 - t) * m0[:3, 3] + t * m1[:3, 3]
+    return out
+
+
 def _props(node, subst):
     """Collect child <integer/float/boolean/string/spectrum/rgb/point/vector
     /transform/texture/ref> tags into a dict (Properties analog)."""
@@ -658,6 +682,13 @@ class _Loader:
         typ = node.attrib["type"]
         p = _props(node, self.subst)
         to_world = p.get("toWorld", np.eye(4, dtype=np.float32))
+        # animated object transform (track.h AnimatedTransform with two
+        # keyframes): evaluate at the loader's shutter time
+        if "toWorldEnd" in p:
+            to_world = _lerp_transform(
+                np.asarray(to_world, np.float32),
+                np.asarray(p["toWorldEnd"], np.float32),
+                getattr(self, "time", 0.0))
 
         if typ == "shapegroup":
             group: list = []
@@ -733,6 +764,35 @@ class _Loader:
             v2, n2 = shapelib.apply_transform(to_world, v, n)
             self.add_mesh(v2, f, mat_id, normals=n2, uvs=uv)
             return
+        elif typ == "deformable":
+            # src/shapes/deformable.cpp: vertex-keyframed mesh; where the
+            # reference builds a space-time kd-tree, the TPU design lerps
+            # the two topologically identical keyframe meshes at the
+            # loader's shutter time (time-binned rendering re-executes
+            # the same compiled program per bin — no recompile)
+            from ..io import mesh as meshlib
+
+            def _load_any(fn):
+                fn = self.base / fn
+                return (meshlib.load_obj(fn) if str(fn).endswith(".obj")
+                        else meshlib.load_ply(fn))
+
+            md0 = _load_any(p["filename0"])
+            md1 = _load_any(p["filename1"])
+            if md0.vertices.shape != md1.vertices.shape or \
+                    not np.array_equal(md0.indices, md1.indices):
+                raise ValueError("deformable keyframes must share topology")
+            t = getattr(self, "time", 0.0)
+            v = (1.0 - t) * md0.vertices + t * md1.vertices
+            f = md0.indices
+            n0 = md0.normals if md0.normals is not None else np.zeros_like(v)
+            n1 = md1.normals if md1.normals is not None else n0
+            n = (1.0 - t) * n0 + t * n1
+            ln = np.linalg.norm(n, axis=1, keepdims=True)
+            n = np.where(ln > 1e-9, n / np.maximum(ln, 1e-9), n)
+            uv = md0.uvs if md0.uvs is not None \
+                else np.zeros((len(v), 2), np.float32)
+            mesh_colors = None
         elif typ in ("obj", "ply", "serialized"):
             from ..io import mesh as meshlib
 
@@ -867,11 +927,18 @@ class _Loader:
             self.cfg_kw["hide_emitters"] = bool(p["hideEmitters"])
 
 
-def load_xml(path, defaults: dict | None = None):
+def load_xml(path, defaults: dict | None = None, time: float = 0.0):
     """Load a Mitsuba XML scene.
 
     Returns (scene, camera, config, integrator_name). `defaults` override
     <default> declarations ($key substitution, mitsuba -D parity).
+
+    `time` in [0, 1] evaluates animated OBJECT transforms
+    (<transform name="toWorldEnd"> on shapes, track.h AnimatedTransform)
+    and deformable vertex keyframes at the given shutter time. The
+    TPU-native motion-blur recipe is time-binned rendering (see
+    cli.py --time-bins): the scene pytree has identical shapes at every
+    t, so XLA compiles once and each bin is just another execution.
     """
     path = Path(path)
     tree = ET.parse(path)
@@ -887,6 +954,7 @@ def load_xml(path, defaults: dict | None = None):
         subst.update(defaults)
 
     ld = _Loader(path.parent, subst)
+    ld.time = float(time)
     _process_children(root, ld, subst, path.parent)
     return _finish(ld)
 

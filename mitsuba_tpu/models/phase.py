@@ -19,6 +19,14 @@ Medium.phase_params, hashable so it jits as a compile-time constant):
   mixture: (kind_a, weight_a, g_a, kind_b, weight_b, g_b) — a two-
            component mixture of the analytic kinds above
            (mixturephase.cpp with N=2; nesting disallowed there too).
+  microflake: (ax, ay, az, stddev, norm, c1, sigma_t[16]) built by
+           make_microflake_params — Gaussian-fiber flake distribution
+           (microflake.cpp / Jakob et al. 2010) about a constant fiber
+           axis. The directionally varying extinction sigmaDir is
+           exposed via the sigma_t table; the distance sampler currently
+           uses the isotropic sigma_t (documented approximation — the
+           reference only varies it under heterogeneous media with
+           orientation volumes, which carry per-voxel axes we don't).
 """
 from __future__ import annotations
 
@@ -36,6 +44,9 @@ PHASE_HG = 1
 PHASE_RAYLEIGH = 2
 PHASE_KKAY = 3
 PHASE_MIXTURE = 4
+PHASE_MICROFLAKE = 5
+
+_MF_TABLE_N = 16          # sigma_t(cos theta) lookup resolution
 
 
 def hg_eval(g: jax.Array, cos_theta: jax.Array) -> jax.Array:
@@ -75,6 +86,121 @@ def kkay_eval(params, wi: jax.Array, wo: jax.Array) -> jax.Array:
     return spec * (_kkay_norm(exponent) * ks) + kd * INV_FOURPI
 
 
+def make_microflake_params(stddev: float,
+                           axis=(0.0, 0.0, 1.0)) -> tuple:
+    """Build the static param tuple for the Gaussian-fiber micro-flake
+    phase function (src/phase/microflake.cpp + microflake_fiber.h,
+    Jakob et al. 2010 / Zhao et al. 2011).
+
+    Flake normal density D(m) = norm * exp(-m_z^2 / (2 s^2)) in the
+    fiber frame. Where the reference interpolates precomputed polynomial
+    fits of the projected area sigma_t(cos theta) (fiberSigmaTCoeffs),
+    this computes the integral directly by quadrature at construction —
+    a 16-entry table linearly interpolated on device.
+    """
+    import math as pm
+
+    import numpy as np
+
+    s = float(stddev)
+    if not (0.01 <= s <= 1.0):
+        raise ValueError("microflake stddev must be in [0.01, 1]")
+    erf = pm.erf(1.0 / (pm.sqrt(2.0) * s))
+    norm = 1.0 / ((2.0 * pm.pi) ** 1.5 * s * erf)
+    c1 = 1.0 / erf
+
+    # sigma_t(cos theta_w) = Int_sphere D(m) |m . w| dm  (fiber frame,
+    # azimuthally symmetric -> 1D family in theta_w)
+    nq, nphi = 256, 256
+    mu, wq = np.polynomial.legendre.leggauss(nq)       # m_z in (-1, 1)
+    phi = (np.arange(nphi) + 0.5) * (2 * np.pi / nphi)
+    sin_m = np.sqrt(np.maximum(1 - mu * mu, 0))
+    d_density = norm * np.exp(-mu * mu / (2 * s * s))  # (nq,)
+    table = []
+    for i in range(_MF_TABLE_N):
+        ct = i / (_MF_TABLE_N - 1)
+        st = np.sqrt(max(1 - ct * ct, 0.0))
+        # |m . w| for w = (st, 0, ct)
+        dots = np.abs(sin_m[:, None] * np.cos(phi)[None, :] * st
+                      + mu[:, None] * ct)
+        integ = float(np.sum(wq[:, None] * d_density[:, None] * dots)
+                      * (2 * np.pi / nphi))
+        table.append(integ)
+    ax = np.asarray(axis, np.float64)
+    ax = ax / max(np.linalg.norm(ax), 1e-12)
+    return (float(ax[0]), float(ax[1]), float(ax[2]),
+            s, norm, c1, *table)
+
+
+def _mf_sigma_t(params, cos_theta):
+    """Linear interp of the projected-area table at |cos theta|."""
+    tab = jnp.asarray(params[6:6 + _MF_TABLE_N], jnp.float32)
+    x = jnp.abs(cos_theta) * (_MF_TABLE_N - 1)
+    i0 = jnp.clip(x.astype(jnp.int32), 0, _MF_TABLE_N - 2)
+    f = x - i0
+    return tab[i0] * (1.0 - f) + tab[i0 + 1] * f
+
+
+def _microflake_eval(params, wi, wo):
+    """microflake.cpp eval: 0.5 D(cos theta_H) / sigma_t(cos theta_wi)
+    in the fiber frame (this IS also the sampling pdf)."""
+    ax = m.normalize(jnp.asarray(params[0:3], jnp.float32))
+    s = params[3]
+    norm = params[4]
+    axis = jnp.broadcast_to(ax, wi.shape)
+    wi_l = m.to_local(axis, wi)
+    wo_l = m.to_local(axis, wo)
+    h = wi_l + wo_l
+    hlen = m.length(h)
+    cos_h = m.safe_div(h[..., 2], jnp.maximum(hlen, 1e-9))
+    d_h = norm * jnp.exp(-cos_h * cos_h / (2.0 * s * s))
+    sig = jnp.maximum(_mf_sigma_t(params, wi_l[..., 2]), 1e-9)
+    return jnp.where(hlen > 1e-9, 0.5 * d_h / sig, 0.0)
+
+
+def _microflake_sample(params, wi, u2, n_tries: int = 16):
+    """Flake-normal sampling (microflake_fiber.h sample + the rejection
+    loop of microflake.cpp:146-165, TPU-shaped): cos theta_m inverts the
+    longitudinal CDF in closed form via erfinv (the reference runs Brent),
+    the |wi.m| rejection runs as n_tries parallel candidates with a
+    first-accept select instead of a data-dependent loop."""
+    from jax.scipy.special import erfinv
+
+    ax = m.normalize(jnp.asarray(params[0:3], jnp.float32))
+    s = params[3]
+    c1 = params[5]
+    axis = jnp.broadcast_to(ax, wi.shape)
+    wi_l = m.to_local(axis, wi)
+
+    shape = u2.shape[:-1]
+    # derive n_tries independent (xi, phi, accept) triples from u2 by
+    # counter-hash expansion (pure function of the two input uniforms)
+    from ..core.rng import hash_u32, u32_to_uniform
+    b0 = (u2[..., 0] * 16777216.0).astype(jnp.uint32)
+    b1 = (u2[..., 1] * 16777216.0).astype(jnp.uint32)
+
+    best_wo = jnp.zeros(shape + (3,))
+    accepted = jnp.zeros(shape, bool)
+    for t in range(n_tries):
+        xi = u32_to_uniform(hash_u32(b0, b1, jnp.uint32(3 * t)))
+        up = u32_to_uniform(hash_u32(b0, b1, jnp.uint32(3 * t + 1)))
+        ua = u32_to_uniform(hash_u32(b0, b1, jnp.uint32(3 * t + 2)))
+        arg = jnp.clip((1.0 - 2.0 * xi) / c1, -0.999999, 0.999999)
+        ct = jnp.clip(jnp.sqrt(2.0) * s * erfinv(arg), -1.0, 1.0)
+        st = m.safe_sqrt(1.0 - ct * ct)
+        phi = 2.0 * jnp.pi * up
+        h = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
+        dp = m.dot(wi_l, h)
+        ok = (ua < jnp.abs(dp)) & ~accepted
+        wo_l = h * (2.0 * dp)[..., None] - wi_l
+        best_wo = jnp.where(ok[..., None], wo_l, best_wo)
+        accepted = accepted | ok
+
+    wo = m.to_world(axis, best_wo)
+    pdf = jnp.where(accepted, _microflake_eval(params, wi, wo), 0.0)
+    return wo, pdf
+
+
 def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
              params: tuple = ()):
     """Returns (value, pdf) — equal for isotropic/HG (perfect importance
@@ -93,6 +219,9 @@ def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
     if kind == PHASE_KKAY:
         v = kkay_eval(params, wi, wo)
         return v, jnp.full(ct.shape, INV_FOURPI)
+    if kind == PHASE_MICROFLAKE:
+        v = _microflake_eval(params, wi, wo)
+        return v, v
     if kind == PHASE_MIXTURE:
         ka, wa, ga, kb, wb, gb = params
         va, pa = eval_pdf(int(ka), jnp.float32(ga), wi, wo)
@@ -114,6 +243,8 @@ def sample(kind: int, g: jax.Array, wi: jax.Array, u2: jax.Array,
         phi = 2.0 * jnp.pi * u2[..., 1]
         wo = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
         return wo, jnp.full(u2.shape[:-1], INV_FOURPI)
+    if kind == PHASE_MICROFLAKE:
+        return _microflake_sample(params, wi, u2)
     if kind == PHASE_MIXTURE:
         ka, wa, ga, kb, wb, gb = params
         p_a = wa / (wa + wb)
@@ -165,7 +296,11 @@ def sample_weight(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
     """Throughput factor value/pdf for a direction drawn by sample().
     Statically 1 for the exactly-sampled kinds, so integrators pay the
     extra eval only when a kkay/mixture medium is actually present."""
-    if kind in (PHASE_ISOTROPIC, PHASE_HG, PHASE_RAYLEIGH):
+    if kind in (PHASE_ISOTROPIC, PHASE_HG, PHASE_RAYLEIGH,
+                PHASE_MICROFLAKE):
+        # microflake: the flake-normal scheme samples the phase density
+        # exactly (pdf == eval), so the weight is 1 (or 0 on the rare
+        # all-rejected lane, which pdf=0 already kills)
         return jnp.ones(pdf.shape)
     v, _ = eval_pdf(kind, g, wi, wo, params)
     return m.safe_div(v, jnp.maximum(pdf, 1e-12))

@@ -230,6 +230,12 @@ class _Loader:
             return phaselib.PHASE_ISOTROPIC, 0.0, ()
         if pt == "rayleigh":
             return phaselib.PHASE_RAYLEIGH, 0.0, ()
+        if pt == "microflake":
+            ax = pp.get("orientation", [0.0, 0.0, 1.0])
+            params = phaselib.make_microflake_params(
+                float(pp.get("stddev", 0.1)),
+                (float(ax[0]), float(ax[1]), float(ax[2])))
+            return phaselib.PHASE_MICROFLAKE, 0.0, params
         if pt == "kkay":
             ax = pp.get("orientation", [0.0, 0.0, 1.0])
             params = (float(ax[0]), float(ax[1]), float(ax[2]),

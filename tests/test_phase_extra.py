@@ -157,3 +157,79 @@ def test_volpath_with_kkay_and_mixture():
     assert abs(img_m.mean() - ref.mean()) / ref.mean() < 0.25
     # kkay with ks+kd=0.6 absorbs at scatter events -> dimmer volume term
     assert img_k.mean() <= ref.mean() * 1.05
+
+
+# ---------------------------------------------------------------------------
+# Microflake (Gaussian fiber distribution)
+# ---------------------------------------------------------------------------
+
+
+def test_microflake_normalized():
+    """The flake phase function integrates to 1 over wo for any wi
+    (the 0.5 D(H)/sigma_t(wi) form is the exact density of the
+    flake-normal sampling scheme)."""
+    params = phase.make_microflake_params(0.3)
+    wo, w = _sphere_quad()
+    for wi_dir in ([0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                   [0.6, 0.0, 0.8]):
+        wi = jnp.broadcast_to(jnp.asarray(wi_dir), wo.shape)
+        v, pdf = phase.eval_pdf(phase.PHASE_MICROFLAKE, jnp.float32(0),
+                                wi, wo, params)
+        total = float(jnp.sum(jnp.asarray(w) * v))
+        assert abs(total - 1.0) < 2e-2, (wi_dir, total)
+        assert np.allclose(np.asarray(v), np.asarray(pdf))
+
+
+def test_microflake_anisotropy():
+    """Tighter stddev concentrates scattering: for wi perpendicular to
+    the fiber, specular-cone directions dominate the axis direction."""
+    tight = phase.make_microflake_params(0.05)
+    wi = jnp.asarray([[0.6, 0.0, 0.8]])
+    # mirror through an equatorial flake normal flips the inclination
+    # sign: that's on the fiber specular cone (H lands at cos theta = 0)
+    wo_cone = jnp.asarray([[0.6, 0.0, -0.8]])
+    wo_axis = jnp.asarray([[0.0, 0.0, 1.0]])    # H far from the equator
+    v_cone, _ = phase.eval_pdf(phase.PHASE_MICROFLAKE, jnp.float32(0),
+                               wi, wo_cone, tight)
+    v_axis, _ = phase.eval_pdf(phase.PHASE_MICROFLAKE, jnp.float32(0),
+                               wi, wo_axis, tight)
+    assert float(v_cone[0]) > 50 * float(v_axis[0])
+
+
+def test_microflake_sample_matches_eval():
+    """Sampled wo histogram moment matches quadrature under the eval
+    density; acceptance is near-total for the 16-candidate scheme."""
+    import jax
+    params = phase.make_microflake_params(0.2)
+    n = 1 << 14
+    wi = jnp.broadcast_to(jnp.asarray([0.8, 0.0, 0.6]), (n, 3))
+    u2 = jax.random.uniform(jax.random.PRNGKey(4), (n, 2))
+    wo, pdf = phase.sample(phase.PHASE_MICROFLAKE, jnp.float32(0), wi, u2,
+                           params)
+    acc = float(jnp.mean(pdf > 0))
+    assert acc > 0.995, acc
+    ok = np.asarray(pdf) > 0
+    stat = float(np.mean(np.asarray(wo)[ok, 2] ** 2))
+    # quadrature reference for E[wo_z^2]
+    wo_q, w_q = _sphere_quad()
+    v, _ = phase.eval_pdf(phase.PHASE_MICROFLAKE, jnp.float32(0),
+                          jnp.broadcast_to(wi[0], wo_q.shape), wo_q, params)
+    ref = float(jnp.sum(jnp.asarray(w_q) * v * wo_q[:, 2] ** 2))
+    assert abs(stat - ref) < 0.03, (stat, ref)
+
+
+def test_volpath_with_microflake():
+    from mitsuba_tpu.integrators import common, volpath
+    from mitsuba_tpu.models import medium as medlib
+    from mitsuba_tpu.scene import builtin
+
+    scene, cam = builtin.cornell_box(width=8, height=8)
+    params = phase.make_microflake_params(0.3, (0.0, 1.0, 0.0))
+    mf = scene.replace(medium=medlib.make_homogeneous(
+        [0.1] * 3, [0.02] * 3, phase=phase.PHASE_MICROFLAKE,
+        phase_params=params))
+    img = np.asarray(common.render_jit(
+        mf, cam, volpath.li, common.RenderConfig(spp=16, max_depth=4,
+                                                 seed=0)))
+    assert np.isfinite(img).all() and img.min() >= 0
+    assert img.mean() > 0.01

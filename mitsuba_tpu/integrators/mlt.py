@@ -43,16 +43,33 @@ vertex arrays each proposal, visibility included (verification.cpp's
 recompute-vs-cache idea collapses to always-recompute, which a batched
 evaluator gets for free).
 
+  F `manifold perturbation` — mut_manifold.cpp: perturb the direction out
+    of a non-specular vertex a by the same exponential angular kernel,
+    propagate deterministically through the a..b delta chain (real
+    specular retrace), then re-solve the b..c chain with the specular
+    manifold walk (ops/manifold.py) so c stays fixed; a reverse walk
+    enforces reversibility (mut_manifold.cpp:510-520). Scenes containing
+    pure-delta BSDFs (conductor/dielectric/thindielectric) extend the
+    TARGET to the quotient manifold: non-spec vertices carry area
+    measure, delta vertices contribute their Fresnel coefficients, and
+    each maximal chain multiplies ONE generalized geometric term
+    (SpecularManifold::multiG) replacing the per-edge cos/d^2 factors;
+    the A/B regeneration densities are chain-aware to match. All of this
+    is statically gated on the scene's BSDF family set — delta-free
+    scenes compile the original code.
+
 Scope notes (documented limitations vs the reference MLT):
 * paths terminate on AREA emitters (env/delta-lit scenes: use pssmlt);
-* perfectly-specular (delta) interior vertices are excluded — their
-  Dirac factors need the manifold walk (manifold.cpp); near-specular
-  rough lobes work and cover the caustic regime. Because delta-vertex
-  paths have zero target density here, D/E never need the deterministic
-  specular-chain retrace of the reference (all interior vertices are
-  rough), so their proposal kernels are symmetric angular offsets and
-  only geometry Jacobians enter the acceptance ratio;
-* the manifold perturbation (mut_manifold.h) is not implemented.
+* rough vertices are never probabilistically treated as specular (the
+  reference's nonspecularProb heuristic); only true delta lobes form
+  chains. Delta lobes INSIDE composite BSDFs (plastic/coating/blend)
+  stay outside the target; C/D/E proposals that break a chain are
+  rejected by the consistency indicator (zero target), F/A/B mutate
+  delta paths;
+* F uses the symmetric exponential angular kernel (D's) rather than the
+  reference's locally-adapted vMF, so only generalized-G Jacobians enter
+  its acceptance ratio;
+* no medium vertices inside perturbed spans (surface MLT only).
 """
 from __future__ import annotations
 
@@ -130,8 +147,188 @@ def _cam_we(cam, d):
     return npix / (film_area * cos_c ** 3), cos_c
 
 
+# ---------------------------------------------------------------------------
+# Specular (delta) chain support — the manifold tier (mut_manifold.cpp,
+# manifold.cpp). Paths may contain interior vertices on pure-delta BSDFs
+# (conductor / dielectric / thindielectric). The target density lives on
+# the quotient manifold: non-specular vertices carry area measure, the
+# specular vertices are determined, each maximal chain contributes its
+# specular weights and ONE generalized geometric term (ops/manifold.py)
+# in place of the per-edge cos/d^2 factors. Everything below is gated on
+# `_scene_has_spec` so delta-free scenes compile the original code.
+# ---------------------------------------------------------------------------
+
+def _spec_fams():
+    from ..scene import ir
+    return (ir.BSDF_CONDUCTOR, ir.BSDF_DIELECTRIC, ir.BSDF_THIN_DIELECTRIC)
+
+
+def _scene_has_spec(scene) -> bool:
+    fams = set(_spec_fams())
+    return any(f in fams for f in scene.bsdf_families)
+
+
+def _spec_flags(scene, prim, k, K):
+    """(N,K+1) bool: interior on-path vertices with a pure-delta BSDF."""
+    from ..scene import ir
+    mat = scene.tri_material[jnp.maximum(prim, 0)]
+    fam = scene.materials.type[mat]
+    is_spec = ((fam == ir.BSDF_CONDUCTOR) | (fam == ir.BSDF_DIELECTRIC)
+               | (fam == ir.BSDF_THIN_DIELECTRIC)) & (prim >= 0)
+    idx = jnp.arange(K + 1)[None, :]
+    interior = (idx >= 1) & (idx <= k[:, None] - 1)
+    return is_spec & interior
+
+
+def _chain_modes(scene, pos, prim, K):
+    """(N,K+1) int32 per-vertex interaction mode: 0 reflect, 1 refract
+    (from the path geometry: crossing the surface = refraction)."""
+    N = pos.shape[0]
+    modes = jnp.zeros((N, K + 1), jnp.int32)
+    for i in range(1, K):
+        pr = jnp.maximum(prim[:, i], 0)
+        vi = scene.indices[pr]
+        v0 = scene.vertices[vi[:, 0]]
+        ngv = jnp.cross(scene.vertices[vi[:, 1]] - v0,
+                        scene.vertices[vi[:, 2]] - v0)
+        d_in = pos[:, i] - pos[:, i - 1]
+        d_out = pos[:, i + 1] - pos[:, i]
+        crossed = m.dot(d_in, ngv) * m.dot(d_out, ngv) > 0
+        modes = modes.at[:, i].set(crossed.astype(jnp.int32))
+    return modes
+
+
+_SPEC_DOT_TOL = 5e-4   # direction consistency: angle < ~0.03 rad
+
+
+def _spec_eval(sp, wi_l, wo_l):
+    """Delta-BSDF evaluation at a chain vertex with both directions known.
+
+    Returns (w (N,3), prob (N,), consistent (N,)): w is the measure-free
+    delta coefficient (Fresnel x tint x radiance-compression — i.e. the
+    sample()-weight times its lobe probability), prob the lobe-selection
+    probability (the transition-density factor of a BSDF-sampled delta
+    bounce), consistent whether wo matches the deterministic scatter of wi
+    (off-manifold states have zero target)."""
+    from ..scene import ir
+    flip = bsdflib._apply_twosided(sp, wi_l)
+    wi_l = wi_l * flip
+    wo_l = wo_l * flip
+    N = wi_l.shape[0]
+    w = jnp.zeros((N, 3))
+    prob = jnp.zeros((N,))
+    cons = jnp.zeros((N,), bool)
+    fam = sp.type
+
+    def close(a, b):
+        return m.dot(a, b) > 1.0 - _SPEC_DOT_TOL
+
+    # conductor: mirror lobe, prob 1 (conductor.cpp)
+    sel = fam == ir.BSDF_CONDUCTOR
+    ci = m.cos_theta(wi_l)
+    ok_c = close(wo_l, m.reflect_local(wi_l)) & (ci > 0)
+    f_c = m.fresnel_conductor(ci, sp.eta, sp.k) * sp.specular
+    w = jnp.where((sel & ok_c)[:, None], f_c, w)
+    prob = jnp.where(sel & ok_c, 1.0, prob)
+    cons = jnp.where(sel, ok_c, cons)
+
+    # smooth dielectric: two lobes selected with prob F / 1-F
+    # (dielectric.cpp:241 radiance compression on the transmit lobe)
+    sel = fam == ir.BSDF_DIELECTRIC
+    eta = sp.eta[..., 0]
+    fr, cos_t, _, eta_ti = m.fresnel_dielectric(ci, eta)
+    is_refl = close(wo_l, m.reflect_local(wi_l))
+    is_refr = close(wo_l, m.refract_local(wi_l, eta, cos_t)) & (fr < 1.0)
+    w_d = jnp.where(is_refl[:, None], fr[:, None] * sp.specular,
+                    ((1.0 - fr) * eta_ti * eta_ti)[:, None]
+                    * sp.reflectance)
+    p_d = jnp.where(is_refl, fr, 1.0 - fr)
+    ok_d = is_refl | is_refr
+    w = jnp.where((sel & ok_d)[:, None], w_d, w)
+    prob = jnp.where(sel & ok_d, p_d, prob)
+    cons = jnp.where(sel, ok_d, cons)
+
+    # thin dielectric: R' = 2R/(1+R), transmit = pass-through
+    sel = fam == ir.BSDF_THIN_DIELECTRIC
+    fr_t, _, _, _ = m.fresnel_dielectric(jnp.abs(ci), eta)
+    fr2 = m.safe_div(2.0 * fr_t, 1.0 + fr_t)
+    is_refl_t = close(wo_l, m.reflect_local(wi_l))
+    is_pass = close(wo_l, -wi_l)
+    w_t = jnp.where(is_refl_t[:, None], fr2[:, None] * sp.specular,
+                    (1.0 - fr2)[:, None] * sp.reflectance)
+    p_t = jnp.where(is_refl_t, fr2, 1.0 - fr2)
+    ok_t = is_refl_t | is_pass
+    w = jnp.where((sel & ok_t)[:, None], w_t, w)
+    prob = jnp.where(sel & ok_t, p_t, prob)
+    cons = jnp.where(sel, ok_t, cons)
+    return w, prob, cons
+
+
+def _gather_chain(prim, spec, modes_all, a, K):
+    """Chain description starting at vertex a+1 (static a): padded prim /
+    mode arrays (N, K-1), true length, and the end (non-spec) vertex."""
+    M = max(K - 1, 1)
+    idxs = jnp.clip(a + 1 + jnp.arange(M), 0, K)
+    in_range = (a + 1 + jnp.arange(M)) <= K
+    ch_spec = spec[:, idxs] & in_range[None, :]
+    run = jnp.cumprod(ch_spec.astype(jnp.int32), axis=1).astype(bool)
+    m_len = run.sum(axis=1).astype(jnp.int32)
+    chain_prim = jnp.where(run, prim[:, idxs], 0)
+    ch_modes = jnp.where(run, modes_all[:, idxs], 0)
+    end_idx = jnp.clip(a + 1 + m_len, 0, K)
+    end_prim = jnp.take_along_axis(prim, end_idx[:, None], 1)[:, 0]
+    return chain_prim, ch_modes, m_len, end_idx, end_prim
+
+
+def _gather_chain_dyn(prim, spec, modes_all, a, K):
+    """_gather_chain with a per-lane (dynamic) start vertex a (N,)."""
+    M = max(K - 1, 1)
+    offs = jnp.arange(M)[None, :]
+    raw = a[:, None] + 1 + offs
+    idxs = jnp.clip(raw, 0, K)
+    in_range = raw <= K
+    ch_spec = jnp.take_along_axis(spec, idxs, 1) & in_range
+    run = jnp.cumprod(ch_spec.astype(jnp.int32), axis=1).astype(bool)
+    m_len = run.sum(axis=1).astype(jnp.int32)
+    chain_prim = jnp.where(run, jnp.take_along_axis(prim, idxs, 1), 0)
+    ch_modes = jnp.where(run, jnp.take_along_axis(modes_all, idxs, 1), 0)
+    end_idx = jnp.clip(a + 1 + m_len, 0, K)
+    end_prim = jnp.take_along_axis(prim, end_idx[:, None], 1)[:, 0]
+    return chain_prim, ch_modes, m_len, end_idx, end_prim
+
+
+def _chain_G_product(scene, pos, prim, k, K, spec, modes_all, gen_from=None):
+    """Product over maximal specular chains of the generalized geometric
+    term (dw at the chain start per dA at the first non-spec vertex after
+    it). gen_from: optional (N,) cut — only chains whose start vertex
+    a >= gen_from contribute (transition-density use)."""
+    from ..ops import manifold
+    N = pos.shape[0]
+    g_prod = jnp.ones((N,))
+    for a in range(0, K):
+        start = (~spec[:, a]) & (a <= k - 1)
+        nxt = min(a + 1, K)
+        start = start & spec[:, nxt]
+        if gen_from is not None:
+            start = start & (a >= gen_from)
+        chain_prim, ch_modes, m_len, _, end_prim = _gather_chain(
+            prim, spec, modes_all, a, K)
+        x0 = pos[:, a]
+        d0 = m.normalize(pos[:, nxt] - x0)
+        g = manifold.generalized_G(scene, x0, d0, chain_prim, ch_modes,
+                                   jnp.maximum(m_len, 1), end_prim)
+        g_prod = g_prod * jnp.where(start, g, 1.0)
+    return g_prod
+
+
 def eval_path(scene, cam, pos, prim, k, K):
-    """f(path) with visibility, + (color, lum, pixel index, ok)."""
+    """f(path) with visibility, + (color, lum, pixel index, ok).
+
+    With pure-delta materials in the scene, paths may carry specular
+    chains: chain edges drop their cos/d^2 factors, chain vertices
+    contribute the delta coefficient (_spec_eval), and each maximal chain
+    multiplies one generalized geometric term (quotient-manifold measure,
+    manifold.cpp multiG)."""
     n = pos.shape[0]
     eye = cam.to_world[:3, 3]
     families = scene.bsdf_families
@@ -144,6 +341,11 @@ def eval_path(scene, cam, pos, prim, k, K):
     yi = jnp.clip(py.astype(jnp.int32), 0, cam.height - 1)
     pixel = yi * cam.width + xi
 
+    has_spec = _scene_has_spec(scene)
+    if has_spec:
+        spec = _spec_flags(scene, prim, k, K)
+        modes_all = _chain_modes(scene, pos, prim, K)
+
     f = jnp.ones((n, 3)) * we[:, None]
     ok = rvalid & (k >= 1)
     prev = jnp.broadcast_to(eye, (n, 3))
@@ -151,9 +353,13 @@ def eval_path(scene, cam, pos, prim, k, K):
         on_path = i <= k
         si, d_in, dist = _si_at(scene, prev, pos[:, i], prim[:, i])
         cos_in = jnp.abs(m.dot(d_in, si["ng"]))
-        f = jnp.where(on_path[:, None],
-                      f * (cos_in / jnp.maximum(dist * dist, 1e-12))[:, None],
-                      f)
+        geom = cos_in / jnp.maximum(dist * dist, 1e-12)
+        if has_spec:
+            # chain edges (touching a spec vertex) carry no cos/d^2 —
+            # the chain's generalized G replaces them
+            chain_edge = spec[:, i - 1] | spec[:, i]
+            geom = jnp.where(chain_edge, 1.0, geom)
+        f = jnp.where(on_path[:, None], f * geom[:, None], f)
         blocked = trace.shadow_blocked(scene, prev, d_in, dist, False)
         ok = ok & (~blocked | ~on_path)
 
@@ -166,6 +372,10 @@ def eval_path(scene, cam, pos, prim, k, K):
             wo_w = m.normalize(nxt - pos[:, i])
             wo_l = m.to_local(si["ns"], wo_w)
             fs, _ = bsdflib.eval_pdf(sp, wi_l, wo_l, families)
+            if has_spec:
+                w_sp, _, cons = _spec_eval(sp, wi_l, wo_l)
+                fs = jnp.where(spec[:, i, None],
+                               jnp.where(cons[:, None], w_sp, 0.0), fs)
             f = jnp.where((on_path & ~is_end)[:, None], f * fs, f)
         # terminal vertex: area-emitter radiance toward v_{k-1}
         em_id = si["emitter"]
@@ -176,13 +386,23 @@ def eval_path(scene, cam, pos, prim, k, K):
                       jnp.where(hit_ok[:, None], f * le, 0.0), f)
         prev = jnp.where(on_path[:, None], pos[:, i], prev)
 
+    if has_spec:
+        g = _chain_G_product(scene, pos, prim, k, K, spec, modes_all)
+        f = f * g[:, None]
+
     f = jnp.where(ok[:, None], f, 0.0)
     f = jnp.nan_to_num(f, nan=0.0, posinf=0.0, neginf=0.0)
     return f, f @ LUM, pixel
 
 
-def _bsdf_area_pdf(scene, v_prev, v, prim, v_next, prim_next):
-    """Area-measure pdf of generating v_next by BSDF-sampling at v."""
+def _bsdf_area_pdf(scene, v_prev, v, prim, v_next, prim_next,
+                   spec_here=None, spec_next=None):
+    """Area-measure pdf of generating v_next by BSDF-sampling at v.
+
+    Specular-chain variants (manifold tier): at a delta vertex the factor
+    is the lobe-selection probability alone; sampling INTO a chain keeps
+    the solid-angle pdf unconverted (the chain's generalized G supplies
+    the conversion at the chain end)."""
     si, d_in, _ = _si_at(scene, v_prev, v, prim)
     sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"])
     wi_l = m.to_local(si["ns"], -d_in)
@@ -193,7 +413,13 @@ def _bsdf_area_pdf(scene, v_prev, v, prim, v_next, prim_next):
     _, pdf_sa = bsdflib.eval_pdf(sp, wi_l, wo_l, scene.bsdf_families)
     si_n, d_n, _ = _si_at(scene, v, v_next, prim_next)
     cos_n = jnp.abs(m.dot(d_n, si_n["ng"]))
-    return pdf_sa * cos_n / d2
+    p_area = pdf_sa * cos_n / d2
+    if spec_here is None:
+        return p_area
+    _, prob_sp, cons = _spec_eval(sp, wi_l, wo_l)
+    p = jnp.where(spec_next, pdf_sa, p_area)       # into-chain: SA only
+    p = jnp.where(spec_here, jnp.where(cons, prob_sp, 0.0), p)
+    return p
 
 
 def _geom_jac(scene, v_from, v_to, prim_to):
@@ -229,10 +455,20 @@ def regen_pdf(scene, cam, pos, prim, k, c, K, mode_hit):
     """
     n = pos.shape[0]
     eye = jnp.broadcast_to(cam.to_world[:3, 3], (n, 3))
+    has_spec = _scene_has_spec(scene)
+    if has_spec:
+        spec = _spec_flags(scene, prim, k, K)
+        modes_all = _chain_modes(scene, pos, prim, K)
     p = jnp.ones((n,))
     # camera factor: v1 is camera-sampled iff c=0 AND v1 is a traced vertex
     # (connect mode with k=1 sets v1 from the LIGHT sampler instead)
     p_cam = _cam_area_pdf(scene, cam, pos[:, 1], prim[:, 1])
+    if has_spec:
+        # spec v1: solid-angle raster pdf only (chain G converts at end)
+        d1 = m.normalize(pos[:, 1] - eye)
+        we1, _ = _cam_we(cam, d1)
+        npix = jnp.float32(cam.width * cam.height)
+        p_cam = jnp.where(spec[:, 1], we1 / npix, p_cam)
     use_cam = (c == 0) & (mode_hit | (k >= 2))
     p = jnp.where(use_cam, p * p_cam, p)
     for i in range(1, K):
@@ -241,8 +477,15 @@ def regen_pdf(scene, cam, pos, prim, k, c, K, mode_hit):
         lim = jnp.where(mode_hit, k - 1, k - 2)
         gen = (i >= jnp.maximum(c, 1)) & (i <= lim)
         v_prev = pos[:, i - 1] if i >= 1 else eye
-        pb = _bsdf_area_pdf(scene, v_prev, pos[:, i], prim[:, i],
-                            pos[:, min(i + 1, K)], prim[:, min(i + 1, K)])
+        nxt = min(i + 1, K)
+        if has_spec:
+            pb = _bsdf_area_pdf(scene, v_prev, pos[:, i], prim[:, i],
+                                pos[:, nxt], prim[:, nxt],
+                                spec_here=spec[:, i],
+                                spec_next=spec[:, nxt])
+        else:
+            pb = _bsdf_area_pdf(scene, v_prev, pos[:, i], prim[:, i],
+                                pos[:, nxt], prim[:, nxt])
         p = jnp.where(gen, p * pb, p)
         # hit mode stops at the FIRST emitter: a path with an emissive
         # intermediate vertex is unreachable (its reverse density is 0)
@@ -252,6 +495,12 @@ def regen_pdf(scene, cam, pos, prim, k, c, K, mode_hit):
     end_prim = _take_v(prim, jnp.clip(k, 0, K))
     p_l = _light_area_pdf(scene, end_prim)
     p = jnp.where(mode_hit, p, p * p_l)
+    if has_spec:
+        # chains generated within the suffix: SA->area conversion via the
+        # generalized geometric term (same factor structure as eval_path)
+        g = _chain_G_product(scene, pos, prim, k, K, spec, modes_all,
+                             gen_from=c)
+        p = p * g
     return jnp.maximum(p, 0.0)
 
 
@@ -383,22 +632,44 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
     pos_c, prim_c, k_c = posb[sidx], primb[sidx], kb_[sidx]
     f_c, l_c, px_c = eval_path(scene, cam, pos_c, prim_c, k_c, K)
 
+    has_spec = _scene_has_spec(scene)
+
     # ---- chains ---------------------------------------------------------
     def step(carry, inp):
         pos_x, prim_x, k_x, f_x, l_x, px_x, img, acc = carry
         kk, mode_i = inp
-        k1, k2, k3, k4 = jax.random.split(kk, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(kk, 5)
         n = n_chains
         is_B = mode_i == 1
         is_C = mode_i == 2
         is_D = mode_i == 3
         is_E = mode_i == 4
+        is_F = mode_i == 5
         mode_hit = jnp.broadcast_to(is_B, (n,))
 
         # ---- propose ----
         u = jax.random.uniform(k1, (n, 4))
-        c = (u[:, 0] * k_x.astype(jnp.float32)).astype(jnp.int32)
-        c = jnp.clip(c, 0, jnp.maximum(k_x - 1, 0))
+        if has_spec:
+            # cuts and perturbation anchors live on NON-SPEC vertices only
+            # (delta vertices are derived state on the quotient manifold)
+            spec_x = _spec_flags(scene, prim_x, k_x, K)
+            modes_x = _chain_modes(scene, pos_x, prim_x, K)
+            idxv = jnp.arange(K + 1)[None, :]
+            elig_x = (~spec_x) & (idxv <= (k_x - 1)[:, None])
+            cnt_x = elig_x.sum(1).astype(jnp.int32)
+
+            def pick_nonspec(uu):
+                pk = jnp.clip((uu * cnt_x).astype(jnp.int32), 0,
+                              jnp.maximum(cnt_x - 1, 0))
+                ranks = jnp.cumsum(elig_x.astype(jnp.int32), axis=1) - 1
+                oh = elig_x & (ranks == pk[:, None])
+                return (oh * jnp.arange(K + 1)[None, :]).sum(1).astype(
+                    jnp.int32)
+
+            c = pick_nonspec(u[:, 0])
+        else:
+            c = (u[:, 0] * k_x.astype(jnp.float32)).astype(jnp.int32)
+            c = jnp.clip(c, 0, jnp.maximum(k_x - 1, 0))
         # A: k' uniform in [c+1, K]; B: determined by the trace
         span = (K - c).astype(jnp.float32)
         k_new = c + 1 + (u[:, 1] * span).astype(jnp.int32)
@@ -472,6 +743,95 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
             jnp.where(ok_ee, its_e1.prim, prim_x[:, 1])).at[:, 2].set(
                 jnp.where(ok_ee, its_e2.prim, prim_x[:, 2]))
 
+        # F: manifold perturbation (mut_manifold.cpp) — perturb the
+        # direction out of a non-spec vertex a, propagate deterministically
+        # through the a..b specular chain (real retrace), then re-solve the
+        # b..c chain with the manifold walk so c stays fixed; a reverse
+        # walk enforces reversibility (mut_manifold.cpp:510-520).
+        # Gated behind lax.cond: the walks (dozens of traced Newton
+        # iterations) must not execute on A..E scan steps.
+        if has_spec:
+            from ..ops import manifold as manif
+            MC = max(K - 1, 1)
+            def propose_manifold(_):
+                uf = jax.random.uniform(k5, (n, 1))
+                a_f = pick_nonspec(uf[:, 0])
+                ch_prim_a, ch_modes_a, mlen_a, b_idx, bprim_x = \
+                    _gather_chain_dyn(prim_x, spec_x, modes_x, a_f, K)
+                pos_a = _take_v(pos_x, a_f)
+                pos_a1 = _take_v(pos_x, jnp.clip(a_f + 1, 0, K))
+                pos_b_old = _take_v(pos_x, b_idx)
+                wo_old_f = m.normalize(pos_a1 - pos_a)
+                wo_new_f = m.to_world(wo_old_f, offs)  # D's angular kernel
+                exp_mat = scene.tri_material[jnp.maximum(ch_prim_a, 0)]
+                cp_ab, cpr_ab, b_new, bprim_new, ok_ab_f = \
+                    manif._real_retrace(scene, pos_a, pos_a + wo_new_f,
+                                        ch_modes_a, mlen_a, exp_mat)
+                # moved endpoint must stay non-spec (isConnectable())
+                from ..scene import ir as _irm
+                fam_b = scene.materials.type[
+                    scene.tri_material[jnp.maximum(bprim_new, 0)]]
+                b_nonspec = ~((fam_b == _irm.BSDF_CONDUCTOR)
+                              | (fam_b == _irm.BSDF_DIELECTRIC)
+                              | (fam_b == _irm.BSDF_THIN_DIELECTRIC))
+                # b..c chain (seen from the fixed anchor c)
+                _, _, mlen_bc, c_idx, _ = _gather_chain_dyn(
+                    prim_x, spec_x, modes_x, b_idx, K)
+                need_walk = (mlen_bc >= 1) & (b_idx < k_x)
+                pos_c = _take_v(pos_x, c_idx)
+                # reversed chain arrays: first spec vertex from c is c-1
+                offs_r = jnp.arange(MC)[None, :]
+                raw_r = c_idx[:, None] - 1 - offs_r
+                idxs_r = jnp.clip(raw_r, 0, K)
+                run_r = raw_r >= (b_idx + 1)[:, None]
+                rev_modes = jnp.where(
+                    run_r, jnp.take_along_axis(modes_x, idxs_r, 1), 0)
+                x1_w = _take_v(pos_x, jnp.clip(c_idx - 1, 0, K))
+                mlen_w = jnp.maximum(mlen_bc, 1)
+                resw = manif.walk(scene, pos_c, x1_w, rev_modes, mlen_w,
+                                  b_new)
+                # reversibility: walking back to the old b must recover
+                # the old chain head (mut_manifold.cpp statsNonReversible)
+                resr = manif.walk(scene, pos_c, resw.chain_pos[:, 0],
+                                  rev_modes, mlen_w, pos_b_old)
+                scale_f = 1.0 + m.length(pos_b_old - pos_c)
+                rev_ok = resr.ok & (m.length(resr.chain_pos[:, 0] - x1_w)
+                                    < 1e-3 * scale_f)
+                walk_ok = jnp.where(need_walk, resw.ok & rev_ok, True)
+
+                ok_f = ok_ab_f & b_nonspec & walk_ok & (k_x >= 1)
+                pos_f, prim_f = pos_x, prim_x
+                for j in range(MC):
+                    slot = jnp.clip(a_f + 1 + j, 0, K)
+                    mj = (j < mlen_a) & ok_f
+                    pos_f = _set_v(pos_f, slot, cp_ab[:, j], mj)
+                    prim_f = _set_v(prim_f, slot, cpr_ab[:, j], mj)
+                    slot2 = jnp.clip(c_idx - 1 - j, 0, K)
+                    mj2 = (j < mlen_bc) & need_walk & ok_f
+                    pos_f = _set_v(pos_f, slot2, resw.chain_pos[:, j], mj2)
+                    prim_f = _set_v(prim_f, slot2, resw.chain_prim[:, j],
+                                    mj2)
+                pos_f = _set_v(pos_f, b_idx, b_new, ok_f)
+                prim_f = _set_v(prim_f, b_idx, bprim_new, ok_f)
+                # proposal Jacobians: the angular kernel is symmetric;
+                # only the dw_a -> dA_b conversions (generalized G) remain
+                gx = manif.generalized_G(scene, pos_a, wo_old_f, ch_prim_a,
+                                         ch_modes_a, mlen_a, bprim_x)
+                y_a1 = jnp.where((mlen_a >= 1)[:, None], cp_ab[:, 0],
+                                 b_new)
+                gy = manif.generalized_G(
+                    scene, pos_a, m.normalize(y_a1 - pos_a), cpr_ab,
+                    ch_modes_a, mlen_a, bprim_new)
+                ok_f = ok_f & (gx > 0) & (gy > 0)
+                return pos_f, prim_f, ok_f, gx, gy
+
+            def skip_manifold(_):
+                return (pos_x, prim_x, jnp.zeros((n,), bool),
+                        jnp.ones((n,)), jnp.ones((n,)))
+
+            pos_ff, prim_ff, ok_ff, g_f_x, g_f_y = jax.lax.cond(
+                is_F, propose_manifold, skip_manifold, operand=None)
+
         pos_y = jnp.where(is_C, pos_cc,
                           jnp.where(is_D, pos_dd,
                                     jnp.where(is_E, pos_ee, pos_ab)))
@@ -482,6 +842,11 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
         ok_y = jnp.where(is_C, ok_cc,
                          jnp.where(is_D, ok_dd,
                                    jnp.where(is_E, ok_ee, ok_ab)))
+        if has_spec:
+            pos_y = jnp.where(is_F, pos_ff, pos_y)
+            prim_y = jnp.where(is_F, prim_ff, prim_y)
+            k_y = jnp.where(is_F, k_x, k_y)
+            ok_y = jnp.where(is_F, ok_ff, ok_y)
 
         # ---- evaluate + accept ----
         f_y, l_y, px_y = eval_path(scene, cam, pos_y, prim_y, k_y, K)
@@ -492,12 +857,18 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
         t_xy_ab = regen_pdf(scene, cam, pos_y, prim_y, k_y, c, K, mode_hit)
         t_yx_ab = regen_pdf(scene, cam, pos_x, prim_x, k_x, c, K, mode_hit)
         n_len = jnp.maximum(span, 1.0)
-        t_xy_ab = jnp.where(mode_hit, t_xy_ab,
-                            t_xy_ab / n_len) / jnp.maximum(
-                                k_x.astype(jnp.float32), 1.0)
-        t_yx_ab = jnp.where(mode_hit, t_yx_ab,
-                            t_yx_ab / n_len) / jnp.maximum(
-                                k_y.astype(jnp.float32), 1.0)
+        if has_spec:
+            # cut choice was uniform over NON-SPEC vertices
+            spec_y = _spec_flags(scene, prim_y, k_y, K)
+            idxy = jnp.arange(K + 1)[None, :]
+            cnt_y = ((~spec_y) & (idxy <= (k_y - 1)[:, None])).sum(1)
+            den_x = jnp.maximum(cnt_x.astype(jnp.float32), 1.0)
+            den_y = jnp.maximum(cnt_y.astype(jnp.float32), 1.0)
+        else:
+            den_x = jnp.maximum(k_x.astype(jnp.float32), 1.0)
+            den_y = jnp.maximum(k_y.astype(jnp.float32), 1.0)
+        t_xy_ab = jnp.where(mode_hit, t_xy_ab, t_xy_ab / n_len) / den_x
+        t_yx_ab = jnp.where(mode_hit, t_yx_ab, t_yx_ab / n_len) / den_y
         jac_y = _cam_area_pdf(scene, cam, pos_y[:, 1], prim_y[:, 1])
         jac_x = _cam_area_pdf(scene, cam, pos_x[:, 1], prim_x[:, 1])
         # D: the exponential angular kernel is symmetric (same polar
@@ -513,6 +884,11 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
         t_yx = jnp.where(is_C, jac_x,
                          jnp.where(is_D, g1_x,
                                    jnp.where(is_E, jac_x * g2_x, t_yx_ab)))
+        if has_spec:
+            # F: symmetric angular kernel; dw->dA conversion through the
+            # respective paths' a..b chains
+            t_xy = jnp.where(is_F, g_f_y, t_xy)
+            t_yx = jnp.where(is_F, g_f_x, t_yx)
 
         num = l_y * t_yx
         den = l_x * t_xy
@@ -538,10 +914,11 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
         acc = acc.at[mode_i].add(jnp.mean(a))
         return (pos_x, prim_x, k_x, f_x, l_x, px_x, img, acc), None
 
+    n_modes = 6 if has_spec else 5      # F only exists with delta chains
     img0 = jnp.zeros((w * h, 3))
-    acc0 = jnp.zeros((5,))
+    acc0 = jnp.zeros((n_modes,))
     keys = jax.random.split(km, n_mutations)
-    modes = jnp.arange(n_mutations, dtype=jnp.int32) % 5
+    modes = jnp.arange(n_mutations, dtype=jnp.int32) % n_modes
     (_, _, _, _, _, _, img, acc), _ = jax.lax.scan(
         step, (pos_c, prim_c, k_c, f_c, l_c, px_c, img0, acc0),
         (keys, modes))
@@ -553,7 +930,7 @@ def render(scene, cam, cfg: RenderConfig, n_chains: int = 1 << 14,
     img = img.reshape(h, w, 3)
     if return_stats:
         per_mode = acc / jnp.maximum(
-            jnp.float32(n_mutations) / 5.0, 1.0)
+            jnp.float32(n_mutations) / n_modes, 1.0)
         return img, {"acceptance": per_mode, "b": b}
     return img
 

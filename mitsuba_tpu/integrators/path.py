@@ -21,6 +21,7 @@ from ..core import math as m
 from ..core.rng import SampleStream
 from ..models import bsdf as bsdflib
 from ..models import emitter as emitterlib
+from ..models import sensor as sensorlib
 from ..ops import trace
 from ..scene import ir as _ir
 from .common import RenderConfig, mis_weight
@@ -55,7 +56,18 @@ def _li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig,
         rays = rays + jnp.sum(active.astype(jnp.float32))
 
         its = trace.closest_hit(scene, o, d)
-        si = trace.surface_interaction(scene, o, d, its)
+        if scene.tex_mips is not None:
+            # EWA footprint gradients on the primary hit (mipmap.h:161;
+            # secondary bounces keep the isotropic trilinear footprint,
+            # like the reference's camera-only RayDifferential)
+            ddx, ddy = sensorlib.ray_differentials(cam, d)
+            primary = jnp.asarray(t == 0)
+            ddx = jnp.where(primary, ddx, 0.0)
+            ddy = jnp.where(primary, ddy, 0.0)
+            si = trace.surface_interaction(scene, o, d, its,
+                                           dd_dx=ddx, dd_dy=ddy)
+        else:
+            si = trace.surface_interaction(scene, o, d, its)
         ns, ng, p = si["ns"], si["ng"], si["p"]
         wi_local = m.to_local(ns, si["wi_world"])
 

@@ -83,7 +83,10 @@ def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
     )
     tex_id = jnp.round(texf[:, 0]).astype(jnp.int32)
     footprint = aux.get("footprint") if aux is not None else None
-    refl = tex.resolve(scene, tex_id, uv, refl, footprint=footprint)
+    duvdx = aux.get("duvdx") if aux is not None else None
+    duvdy = aux.get("duvdy") if aux is not None else None
+    refl = tex.resolve(scene, tex_id, uv, refl, footprint=footprint,
+                       duvdx=duvdx, duvdy=duvdy)
     # procedural per-interaction textures, interpolated by
     # surface_interaction and handed through `aux` (the si dict);
     # bidirectional caches that don't carry them fall back to the flat

@@ -218,3 +218,40 @@ def world_to_raster(cam: Camera, p: jax.Array):
     film_area = 4.0 * tan_half * tan_half * aspect
     imp = m.safe_div(1.0, film_area * jnp.maximum(cos_t, 1e-6) ** 4)
     return px, py, valid, imp
+
+
+def ray_differentials(cam: Camera, d: jax.Array):
+    """+1-pixel ray-direction deltas for the projective sensor family.
+
+    The RayDifferential analog (reference perspective.cpp ray
+    differentials / mipmap.h:161 EWA driver): given the normalized world
+    direction of a camera ray, return (dd_dx, dd_dy) — the change of that
+    direction for one-pixel raster steps. Derived analytically from the
+    camera model (pinhole; the thinlens central ray uses the same
+    geometry). Non-projective sensors return zeros, which downstream
+    texture filtering treats as "no anisotropic footprint"."""
+    n = d.shape[0]
+    if cam.kind not in (SENSOR_PERSPECTIVE, SENSOR_THINLENS, SENSOR_RDIST):
+        z = jnp.zeros((n, 3))
+        return z, z
+    w = jnp.float32(cam.width)
+    h = jnp.float32(cam.height)
+    tan_half = jnp.tan(0.5 * jnp.deg2rad(cam.fov_x))
+    aspect = h / w
+    rot = cam.to_world[:3, :3]
+    # unnormalized camera-space direction, rescaled to the z=1 plane
+    d_cam = d @ rot                       # R^T d (columns orthonormal)
+    v = d_cam / jnp.maximum(d_cam[..., 2:3], 1e-8)
+    dv_dx = jnp.asarray([2.0 * 1.0 / w, 0.0, 0.0]) * tan_half
+    dv_dy = jnp.asarray([0.0, -2.0 * 1.0 / h * aspect, 0.0]) * tan_half
+
+    def dnorm(vv, dvv):
+        # d(normalize(v)) = (I - n n^T) dv / |v|
+        inv_len = jax.lax.rsqrt(jnp.maximum(m.dot(vv, vv), 1e-12))
+        nrm = vv * inv_len[:, None]
+        dvv = jnp.broadcast_to(dvv, vv.shape)
+        return (dvv - nrm * m.dot(nrm, dvv)[:, None]) * inv_len[:, None]
+
+    ddx_cam = dnorm(v, dv_dx)
+    ddy_cam = dnorm(v, dv_dy)
+    return ddx_cam @ rot.T, ddy_cam @ rot.T

@@ -458,11 +458,17 @@ def _perturb_normal(scene, mat, uv, t0, t1, t2, e1, e2, ns, ng):
     return jnp.where(m.dot(new, ng, keepdims=True) < 0.0, -new, new)
 
 
-def surface_interaction(scene, o, d, its: Intersection):
+def surface_interaction(scene, o, d, its: Intersection,
+                        dd_dx=None, dd_dy=None):
     """Expand a hit record into shading data (position, frames, uv, material).
 
     Analog of Intersection::computePartials + Shape::fillIntersectionRecord.
     Returns dict of batched fields; invalid lanes contain harmless defaults.
+
+    dd_dx/dd_dy: optional (N,3) ray-direction differentials of a 1-pixel
+    raster step (sensor.ray_differentials). When given, the uv-space
+    footprint gradients `duvdx`/`duvdy` are computed (computePartials,
+    intersection.h) — the EWA anisotropic filter driver.
 
     Barycentrics are (re)computed here from the gathered winning-triangle
     vertices when the intersector returned them as zeros (the brute-force
@@ -534,6 +540,30 @@ def surface_interaction(scene, o, d, its: Intersection):
         # distance t (camera factor baked into tri_uv_density at load)
         dens = fetch_packed([scene.tri_uv_density[:, None]], its.prim)[0]
         out["footprint"] = its.t * dens[:, 0]
+    if dd_dx is not None and scene.tex_mips is not None:
+        # pixel footprint on the hit plane: p(s) = o + t(s) d(s) with the
+        # plane constraint gives dp = t (dd - d (dd.ng)/(d.ng))
+        dng = m.dot(d, ng)
+        safe = jnp.abs(dng) > 1e-7
+        inv_dng = jnp.where(safe, 1.0 / jnp.where(safe, dng, 1.0), 0.0)
+
+        def duv_of(dd):
+            dp = its.t[:, None] * (
+                dd - d * (m.dot(dd, ng) * inv_dng)[:, None])
+            # barycentric derivatives via the edge Gram system, then map
+            # through the uv edges (computePartials' dpdu/dpdv inverted)
+            a11 = m.dot(e1, e1)
+            a12 = m.dot(e1, e2)
+            a22 = m.dot(e2, e2)
+            det_g = jnp.maximum(a11 * a22 - a12 * a12, 1e-20)
+            r1 = m.dot(dp, e1)
+            r2 = m.dot(dp, e2)
+            db1 = (a22 * r1 - a12 * r2) / det_g
+            db2 = (a11 * r2 - a12 * r1) / det_g
+            return db1[:, None] * (t1 - t0) + db2[:, None] * (t2 - t0)
+
+        out["duvdx"] = duv_of(dd_dx)
+        out["duvdy"] = duv_of(dd_dy)
     # procedural per-interaction colors (compiled only when present):
     if scene.has_vtx_colors:
         # vertexcolors.cpp / curvature.cpp (colors baked at load time)

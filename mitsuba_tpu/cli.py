@@ -45,6 +45,11 @@ def build_argparser():
                          " and average; the scene pytree keeps its shapes"
                          " so XLA compiles once")
     ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="EDebug log level (mitsuba.cpp -v)")
+    ap.add_argument("--log-file", default=None, metavar="PATH",
+                    help="also append log records to a file "
+                         "(StreamAppender/logger.h analog)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging without a TPU)")
     return ap
@@ -91,6 +96,15 @@ def resolve_integrator(name: str):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from .core import logger as loglib
+
+    logger = loglib.get_logger()
+    if args.quiet:
+        logger.set_log_level(loglib.EWarn)
+    elif args.verbose:
+        logger.set_log_level(loglib.EDebug)
+    if args.log_file:
+        logger.add_appender(loglib.FileAppender(args.log_file))
     if len(args.scene) > 1:
         # multi-scene batch (mitsuba.cpp -j): thread pool overlaps the
         # host-side scene loading / dispatch; device work serializes on
@@ -152,10 +166,16 @@ def _render_one(args):
 
         scene = bvhlib.attach(scene)
 
-    if not args.quiet:
-        print(f"[mitsuba_tpu] {scene.num_triangles} triangles, "
-              f"{cam.width}x{cam.height} @ {cfg.spp} spp, "
-              f"integrator={args.integrator or integ_name}", file=sys.stderr)
+    from .core import logger as loglib
+    from .utils import stats as statslib
+
+    loglib.Log(loglib.EInfo,
+               "%d triangles, %dx%d @ %d spp, integrator=%s",
+               scene.num_triangles, cam.width, cam.height, cfg.spp,
+               args.integrator or integ_name)
+    st = statslib.get_statistics()
+    st.add("Scene.triangles", scene.num_triangles)
+    st.add("Scene.pixels", cam.width * cam.height)
 
     from .integrators import common
 
@@ -256,9 +276,15 @@ def _render_one(args):
     from .io import image as imagelib
 
     imagelib.write_image(out, img)
+    render_s = time.time() - t0
+    st.add("Render.wall_clock", render_s, unit="s")
+    st.add("Render.samples",
+           float(cfg.spp) * cam.width * cam.height)
+    loglib.Log(loglib.EInfo, "wrote %s in %.1fs (mean %.4f)",
+               out, render_s, img.mean())
     if not args.quiet:
-        print(f"[mitsuba_tpu] wrote {out} in {time.time() - t0:.1f}s "
-              f"(mean {img.mean():.4f})", file=sys.stderr)
+        # Statistics::printStats at exit (mitsuba.cpp:408)
+        st.print_stats()
     return 0
 
 

@@ -66,7 +66,7 @@ def cfg_key(cfg, cam) -> str:
 def render_progressive(
     scene, cam, li_fn, cfg, total_spp: int, pass_spp: int = 16,
     checkpoint_path=None, timelog_path=None, snapshot_every: int = 0,
-    snapshot_prefix: str = "snapshot",
+    snapshot_prefix: str = "snapshot", progress: bool = False,
 ):
     """Accumulate `total_spp` in passes of `pass_spp`, checkpointing after
     each pass and appending cumulative seconds to the timelog (the fork's
@@ -91,6 +91,10 @@ def render_progressive(
             cfg_key=key,
         )
 
+    from .stats import ProgressReporter
+
+    reporter = ProgressReporter("Rendering", total_spp, enabled=progress)
+    reporter.update(state.spp_done)
     while state.spp_done < total_spp:
         n = min(pass_spp, total_spp - state.spp_done)
         # each pass re-seeds via the sample-index offset: pass samples are
@@ -107,6 +111,7 @@ def render_progressive(
         state.image_sum = state.image_sum + img * n
         state.spp_done += n
 
+        reporter.update(state.spp_done)
         if checkpoint_path:
             state.save(checkpoint_path)
         if timelog_path:
@@ -118,4 +123,5 @@ def render_progressive(
             imagelib.write_image(
                 f"{snapshot_prefix}_{state.spp_done:05d}spp.exr", state.image
             )
+    reporter.finish()
     return state

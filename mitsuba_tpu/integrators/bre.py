@@ -52,7 +52,7 @@ def trace_volume_photons(scene, cfg: RenderConfig, n_paths: int, seed: int):
     for b in range(MAX_VOL_BOUNCES):
         its = trace.closest_hit(scene, o, d)
         t_surf = jnp.where(its.valid, its.t, 1e30)
-        if med.kind == medlib.MEDIUM_GRID:
+        if med.kind in (medlib.MEDIUM_GRID, medlib.MEDIUM_HGRID):
             t_m, is_med, w_med, w_surf = medlib.sample_distance_grid(
                 med, lambda j: u(100 + b * 200 + j), o, d, t_surf)
         else:
@@ -137,11 +137,11 @@ def render(scene, cam, cfg: RenderConfig, n_paths: int = 1 << 16,
             lambda c, i, msk: (reduce_fn(c[0], i, msk),),
             (jnp.zeros((npix, 3)),), window=window)
         li = li * kernel / n_paths
-        dens = medlib.density_at(med, x) if med.kind == medlib.MEDIUM_GRID \
+        dens = medlib.density_at(med, x) if med.kind in (medlib.MEDIUM_GRID, medlib.MEDIUM_HGRID) \
             else jnp.ones((npix,))
         sigma_s = med.sigma_t * med.albedo
         # transmittance to tk (closed form; jittered quadrature for grids)
-        if med.kind == medlib.MEDIUM_GRID:
+        if med.kind in (medlib.MEDIUM_GRID, medlib.MEDIUM_HGRID):
             tr = medlib.transmittance_grid(med, o, d, tk, upix(4), steps=16)
         else:
             tr = jnp.exp(-med.sigma_t[None, :] * tk[:, None])

@@ -50,7 +50,7 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         return stream.at_dim(SENSOR_DIMS + cfg.max_depth * DIMS_PER_BOUNCE
                              + bounce * 4 + j)
 
-    is_grid = med.kind == medlib.MEDIUM_GRID
+    is_grid = med.kind in (medlib.MEDIUM_GRID, medlib.MEDIUM_HGRID)
     TRACK = medlib.TRACK_STEPS
     track_base = SENSOR_DIMS + cfg.max_depth * (DIMS_PER_BOUNCE + 4)
 

@@ -59,3 +59,79 @@ def write_vol(path, data, box_min=(0, 0, 0), box_max=(1, 1, 1)):
         f.write(struct.pack("<6f", *np.asarray(box_min, np.float32),
                             *np.asarray(box_max, np.float32)))
         f.write(data.tobytes())
+
+
+def read_hgrid(dict_path, prefix, postfix=".vol"):
+    """Hierarchical grid dictionary (src/volume/hgridvolume.cpp
+    loadDictionary): little-endian [6f world aabb][3i cell res] then
+    (3i block coords)* until EOF; block (x,y,z) lives in
+    '{prefix}{x:03d}_{y:03d}_{z:03d}{postfix}' as a regular gridvolume.
+
+    Returns (block_table (BZ,BY,BX) int32, -1 = empty cell,
+    block_data (NB, bz, by, bx) float32, box_min, box_max). All blocks
+    must share one resolution (the TPU layout stacks them into a single
+    gatherable array; mixed-resolution dictionaries are rejected)."""
+    import os
+
+    with open(dict_path, "rb") as f:
+        raw = f.read()
+    box = struct.unpack_from("<6f", raw, 0)
+    bx, by, bz = struct.unpack_from("<3i", raw, 24)
+    table = np.full((bz, by, bx), -1, np.int32)
+    blocks = []
+    base = os.path.dirname(str(dict_path))
+    off = 36
+    shape = None
+    while off + 12 <= len(raw):
+        cx, cy, cz = struct.unpack_from("<3i", raw, off)
+        off += 12
+        name = f"{prefix}{cx:03d}_{cy:03d}_{cz:03d}{postfix}"
+        data, _, _ = read_vol(os.path.join(base, name)
+                              if not os.path.isabs(name) else name)
+        if data.ndim == 4:
+            data = data.mean(-1)
+        if shape is None:
+            shape = data.shape
+        elif data.shape != shape:
+            raise ValueError(
+                f"hgrid block {name}: resolution {data.shape} != {shape}")
+        table[cz, cy, cx] = len(blocks)
+        blocks.append(data.astype(np.float32))
+    if not blocks:
+        raise ValueError(f"{dict_path}: empty hierarchical grid")
+    return (table, np.stack(blocks),
+            np.asarray(box[:3], np.float32), np.asarray(box[3:], np.float32))
+
+
+def write_hgrid(dict_path, prefix, block_table, block_data,
+                box_min=(0, 0, 0), box_max=(1, 1, 1), postfix=".vol"):
+    """Inverse of read_hgrid (testing / dataset conversion)."""
+    import os
+
+    block_table = np.asarray(block_table)
+    bz, by, bx = block_table.shape
+    base = os.path.dirname(str(dict_path))
+    ext = (np.asarray(box_max, np.float32)
+           - np.asarray(box_min, np.float32))
+    with open(dict_path, "wb") as f:
+        f.write(struct.pack("<6f", *np.asarray(box_min, np.float32),
+                            *np.asarray(box_max, np.float32)))
+        f.write(struct.pack("<3i", bx, by, bz))
+        for cz in range(bz):
+            for cy in range(by):
+                for cx in range(bx):
+                    bid = block_table[cz, cy, cx]
+                    if bid < 0:
+                        continue
+                    f.write(struct.pack("<3i", cx, cy, cz))
+                    cell_min = (np.asarray(box_min, np.float32)
+                                + ext * np.asarray([cx / bx, cy / by,
+                                                    cz / bz], np.float32))
+                    cell_max = (np.asarray(box_min, np.float32)
+                                + ext * np.asarray([(cx + 1) / bx,
+                                                    (cy + 1) / by,
+                                                    (cz + 1) / bz],
+                                                   np.float32))
+                    write_vol(os.path.join(
+                        base, f"{prefix}{cx:03d}_{cy:03d}_{cz:03d}{postfix}"),
+                        block_data[bid], cell_min, cell_max)

@@ -21,6 +21,7 @@ from . import phase as phaselib
 
 MEDIUM_HOMOGENEOUS = 0
 MEDIUM_GRID = 1
+MEDIUM_HGRID = 2       # block-sparse hierarchical grid (hgridvolume.cpp)
 
 
 @struct.dataclass
@@ -29,9 +30,12 @@ class Medium:
     albedo: jax.Array     # (3,) single-scattering albedo (sigma_s/sigma_t)
     g: jax.Array          # () HG asymmetry
     # grid media (kind=MEDIUM_GRID): density modulates sigma_t
-    density: jax.Array = None          # (D,H,W) or (1,1,1)
+    density: jax.Array = None          # (D,H,W) or (1,1,1); for
+                                       # MEDIUM_HGRID: (NB, bz, by, bx)
     box_min: jax.Array = None          # (3,)
     box_max: jax.Array = None          # (3,)
+    # hierarchical grids: (BZ,BY,BX) int32 cell -> block id, -1 = empty
+    block_table: jax.Array = None
     kind: int = struct.field(pytree_node=False, default=MEDIUM_HOMOGENEOUS)
     phase: int = struct.field(pytree_node=False, default=phaselib.PHASE_HG)
     # static parameter tuple for kkay/mixture phases (phase.py docstring)
@@ -69,9 +73,97 @@ def make_grid(density: np.ndarray, sigma_t_scale, albedo, g=0.0,
     )
 
 
+def make_hgrid(block_table: np.ndarray, block_data: np.ndarray,
+               sigma_t_scale, albedo, g=0.0,
+               box_min=(0, 0, 0), box_max=(1, 1, 1),
+               phase: int = phaselib.PHASE_HG,
+               phase_params: tuple = ()) -> Medium:
+    """Block-sparse hierarchical grid medium (hgridvolume.cpp).
+
+    The reference keeps a cell grid of per-block gridvolume plugins and
+    virtual-dispatches per lookup; here empty cells are a -1 row in one
+    int32 table and the occupied blocks stack into a single (NB,bz,by,bx)
+    array, so a lookup is two static gathers — no pointers, no dispatch."""
+    return Medium(
+        sigma_t=jnp.asarray(sigma_t_scale, jnp.float32) * jnp.ones(3),
+        albedo=jnp.asarray(albedo, jnp.float32) * jnp.ones(3),
+        g=jnp.float32(g),
+        density=jnp.asarray(block_data, jnp.float32),
+        box_min=jnp.asarray(box_min, jnp.float32),
+        box_max=jnp.asarray(box_max, jnp.float32),
+        block_table=jnp.asarray(block_table, jnp.int32),
+        kind=MEDIUM_HGRID, phase=phase, phase_params=phase_params,
+    )
+
+
+def bake_dense(med: Medium, resolution) -> Medium:
+    """volcache.cpp analog: evaluate any medium's density onto a dense
+    grid. The reference caches expensive hierarchical lookups in runtime
+    blocks; on TPU the dense array IS the fast path, so caching becomes a
+    one-time load-side bake (resolution-controlled)."""
+    d, h, w = resolution
+    zs = (jnp.arange(d) + 0.5) / d
+    ys = (jnp.arange(h) + 0.5) / h
+    xs = (jnp.arange(w) + 0.5) / w
+    Z, Y, X = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    rel = jnp.stack([X, Y, Z], -1).reshape(-1, 3)
+    pts = med.box_min + rel * (med.box_max - med.box_min)
+    dens = density_at(med, pts).reshape(d, h, w)
+    return Medium(
+        sigma_t=med.sigma_t, albedo=med.albedo, g=med.g,
+        density=dens, box_min=med.box_min, box_max=med.box_max,
+        kind=MEDIUM_GRID, phase=med.phase, phase_params=med.phase_params,
+    )
+
+
+def _density_hgrid(med: Medium, p: jax.Array) -> jax.Array:
+    """Block-sparse lookup: cell gather -> in-block trilinear
+    (hgridvolume.cpp lookupFloat, minus the virtual dispatch)."""
+    rel = (p - med.box_min) / jnp.maximum(med.box_max - med.box_min, 1e-9)
+    inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+    BZ, BY, BX = med.block_table.shape
+    cx = jnp.clip((rel[..., 0] * BX).astype(jnp.int32), 0, BX - 1)
+    cy = jnp.clip((rel[..., 1] * BY).astype(jnp.int32), 0, BY - 1)
+    cz = jnp.clip((rel[..., 2] * BZ).astype(jnp.int32), 0, BZ - 1)
+    bid = med.block_table[cz, cy, cx]
+    occupied = bid >= 0
+    b = jnp.maximum(bid, 0)
+    # local coords within the cell, trilinear inside the block
+    lx = jnp.clip(rel[..., 0] * BX - cx, 0.0, 1.0)
+    ly = jnp.clip(rel[..., 1] * BY - cy, 0.0, 1.0)
+    lz = jnp.clip(rel[..., 2] * BZ - cz, 0.0, 1.0)
+    _, bd, bh, bw = med.density.shape
+    fx = lx * (bw - 1)
+    fy = ly * (bh - 1)
+    fz = lz * (bd - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, max(bw - 2, 0))
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, max(bh - 2, 0))
+    z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, max(bd - 2, 0))
+    tx = jnp.clip(fx - x0, 0.0, 1.0)
+    ty = jnp.clip(fy - y0, 0.0, 1.0)
+    tz = jnp.clip(fz - z0, 0.0, 1.0)
+    x1 = jnp.minimum(x0 + 1, bw - 1)
+    y1 = jnp.minimum(y0 + 1, bh - 1)
+    z1 = jnp.minimum(z0 + 1, bd - 1)
+    g = med.density
+    c = (
+        g[b, z0, y0, x0] * (1 - tx) * (1 - ty) * (1 - tz)
+        + g[b, z0, y0, x1] * tx * (1 - ty) * (1 - tz)
+        + g[b, z0, y1, x0] * (1 - tx) * ty * (1 - tz)
+        + g[b, z0, y1, x1] * tx * ty * (1 - tz)
+        + g[b, z1, y0, x0] * (1 - tx) * (1 - ty) * tz
+        + g[b, z1, y0, x1] * tx * (1 - ty) * tz
+        + g[b, z1, y1, x0] * (1 - tx) * ty * tz
+        + g[b, z1, y1, x1] * tx * ty * tz
+    )
+    return jnp.where(inside & occupied, c, 0.0)
+
+
 def density_at(med: Medium, p: jax.Array) -> jax.Array:
     """Trilinear density lookup in the grid's box; 0 outside
-    (gridvolume.cpp lookupFloat)."""
+    (gridvolume.cpp lookupFloat; hgridvolume.cpp for block-sparse)."""
+    if med.kind == MEDIUM_HGRID:
+        return _density_hgrid(med, p)
     rel = (p - med.box_min) / jnp.maximum(med.box_max - med.box_min, 1e-9)
     inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
     d_, h_, w_ = med.density.shape

@@ -300,6 +300,24 @@ class _Loader:
                             str(self.base / vp["filename"]))
                         if dens.ndim == 4:
                             dens = dens.mean(-1)
+                    elif vt == "hgridvolume":
+                        # block-sparse hierarchical grid (hgridvolume.cpp)
+                        from ..io import vol as vollib
+                        dens, box_min, box_max = None, None, None
+                        tbl, blocks, bmin, bmax = vollib.read_hgrid(
+                            str(self.base / vp["filename"]),
+                            vp.get("prefix", ""),
+                            vp.get("postfix", ".vol"))
+                        alb = p.get("albedo", [0.8] * 3)
+                        if isinstance(alb, (list, tuple, np.ndarray)):
+                            alb = np.asarray(alb, np.float32)
+                        med = medlib.make_hgrid(
+                            tbl, blocks, scale, alb, g=g,
+                            box_min=bmin, box_max=bmax,
+                            phase=phase, phase_params=phase_params)
+                        if "id" in node.attrib:
+                            self.medium_ids[node.attrib["id"]] = med
+                        return med
                     elif vt == "constvolume":
                         v = vp.get("value", 1.0)
                         if isinstance(v, (list, tuple, np.ndarray)):

@@ -52,6 +52,16 @@ def build_argparser():
                          "(StreamAppender/logger.h analog)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging without a TPU)")
+    ap.add_argument("-r", "--refresh", type=float, default=0.0, metavar="SEC",
+                    help="write the partial image every SEC seconds while "
+                         "rendering (mitsuba.cpp:107-127 -r flush thread; "
+                         "SIGHUP also forces a flush). Renders in "
+                         "progressive passes.")
+    ap.add_argument("--debug-fp", action="store_true",
+                    help="trap NaN/Inf in every jitted computation "
+                         "(MTS_DEBUG_FP / SIGFPE analog, "
+                         "renderproc.cpp:73-84 — jax_debug_nans re-runs "
+                         "the offending op un-jitted and raises)")
     return ap
 
 
@@ -136,6 +146,10 @@ def _render_one(args):
         # NOTE: must run before any device use; the env var JAX_PLATFORMS
         # can be overridden by PJRT bootstrap hooks, config.update is not
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_fp:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     defaults = {}
     for d in args.D:
@@ -266,6 +280,40 @@ def _render_one(args):
             img_b = common.render_jit(scene_b, cam_b, li_fn, cfg_b)
             acc = np.asarray(img_b) if acc is None else acc + np.asarray(img_b)
         img = acc / args.time_bins
+    elif args.refresh > 0:
+        # progressive passes + periodic/SIGHUP partial-image flush
+        # (mitsuba.cpp:91-127: SIGHUP handler + `-r sec` flush thread)
+        import signal
+        import numpy as np
+        from .utils import checkpoint as ckpt
+
+        out_partial = args.output or (scene_path.rsplit(".", 1)[0] + ".exr")
+        from .io import image as imagelib
+
+        flush_req = {"at": time.time(), "force": False}
+
+        def _on_hup(signum, frame):
+            flush_req["force"] = True
+
+        try:
+            signal.signal(signal.SIGHUP, _on_hup)
+        except (ValueError, AttributeError):
+            pass  # non-main thread / platform without SIGHUP
+
+        def on_pass(state):
+            now = time.time()
+            if flush_req["force"] or now - flush_req["at"] >= args.refresh:
+                imagelib.write_image(out_partial, state.image)
+                loglib.Log(loglib.EInfo, "flushed partial film (%d/%d spp)",
+                           state.spp_done, cfg.spp)
+                flush_req["at"] = now
+                flush_req["force"] = False
+
+        pass_spp = max(min(cfg.spp // 8, 64), 1)
+        state = ckpt.render_progressive(
+            scene, cam, li_fn, cfg, total_spp=cfg.spp, pass_spp=pass_spp,
+            on_pass=on_pass, progress=not args.quiet)
+        img = state.image
     else:
         img = common.render_jit(scene, cam, li_fn, cfg)
 
@@ -275,8 +323,13 @@ def _render_one(args):
     out = args.output or (scene_path.rsplit(".", 1)[0] + ".exr")
     from .io import image as imagelib
 
-    imagelib.write_image(out, img)
     render_s = time.time() - t0
+    # renderTime in the EXR header (film metadata the reference stamps;
+    # read back by data/scripts/rendertime.py:14 / `mtsutil rendertime`)
+    meta = {"renderTime": render_s,
+            "spp": float(cfg.spp),
+            "generatedBy": "mitsuba_tpu"} if out.endswith(".exr") else None
+    imagelib.write_image(out, img, metadata=meta)
     st.add("Render.wall_clock", render_s, unit="s")
     st.add("Render.samples",
            float(cfg.spp) * cam.width * cam.height)

@@ -28,8 +28,15 @@ def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
     return name + b"\x00" + typ + b"\x00" + struct.pack("<i", len(data)) + data
 
 
-def write_exr(path, img: np.ndarray, half: bool = False) -> None:
-    """Write (H,W,3) float array as scanline EXR (no compression)."""
+def write_exr(path, img: np.ndarray, half: bool = False,
+              metadata: dict | None = None) -> None:
+    """Write (H,W,3) float array as scanline EXR (no compression).
+
+    `metadata` maps attribute names to str or float values, embedded as
+    EXR header attributes — the reference stamps `renderTime` (and other
+    Properties) into the film header the same way
+    (src/librender/film.cpp setDestinationFile metadata path, read back
+    by data/scripts/rendertime.py:14)."""
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -44,6 +51,12 @@ def write_exr(path, img: np.ndarray, half: bool = False) -> None:
 
     header = b""
     header += _exr_attr(b"channels", b"chlist", chans)
+    for k, v in (metadata or {}).items():
+        if isinstance(v, (int, float)):
+            header += _exr_attr(k.encode(), b"float",
+                                struct.pack("<f", float(v)))
+        else:
+            header += _exr_attr(k.encode(), b"string", str(v).encode())
     header += _exr_attr(b"compression", b"compression", b"\x00")  # NONE
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header += _exr_attr(b"dataWindow", b"box2i", box)
@@ -419,12 +432,41 @@ def write_rgbe(path, img: np.ndarray) -> None:
         f.write(rgbe.tobytes())
 
 
-def write_image(path, img) -> None:
+def read_exr_attrs(path) -> dict:
+    """Parse just the EXR header attributes; float and string attrs are
+    decoded to Python values, everything else kept as (type, raw bytes).
+    The data/scripts/rendertime.py:14 readback path."""
+    buf = Path(path).read_bytes()
+    magic, _ = struct.unpack_from("<ii", buf, 0)
+    assert magic == _EXR_MAGIC, "not an EXR file"
+    pos = 8
+    attrs = {}
+    while buf[pos] != 0:
+        e = buf.index(b"\x00", pos)
+        name = buf[pos:e].decode()
+        pos = e + 1
+        e = buf.index(b"\x00", pos)
+        typ = buf[pos:e].decode()
+        pos = e + 1
+        (size,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        raw = buf[pos:pos + size]
+        pos += size
+        if typ == "float":
+            attrs[name] = struct.unpack("<f", raw)[0]
+        elif typ == "string":
+            attrs[name] = raw.decode()
+        else:
+            attrs[name] = (typ, raw)
+    return attrs
+
+
+def write_image(path, img, metadata: dict | None = None) -> None:
     """Dispatch on extension (Bitmap::write analog)."""
     img = np.asarray(img)
     p = str(path)
     if p.endswith(".exr"):
-        write_exr(p, img)
+        write_exr(p, img, metadata=metadata)
     elif p.endswith(".pfm"):
         write_pfm(p, img)
     elif p.endswith(".png"):

@@ -164,8 +164,31 @@ def tool_mtsimport(argv):
           f"{out} + {ser.name}")
 
 
+def tool_rendertime(argv):
+    """Print render-time metadata embedded in EXR headers
+    (data/scripts/rendertime.py:14 analog)."""
+    ap = argparse.ArgumentParser(prog="mtsutil rendertime")
+    ap.add_argument("images", nargs="+", help="EXR file(s)")
+    args = ap.parse_args(argv)
+    from .io import image as imagelib
+
+    total = 0.0
+    for p in args.images:
+        attrs = imagelib.read_exr_attrs(p)
+        t = attrs.get("renderTime")
+        if t is None:
+            print(f"{p}: no renderTime attribute")
+        else:
+            print(f"{p}: {float(t):.2f} s"
+                  + (f" ({attrs['spp']:.0f} spp)" if "spp" in attrs else ""))
+            total += float(t)
+    if len(args.images) > 1:
+        print(f"total: {total:.2f} s")
+
+
 TOOLS = {
     "kdbench": tool_kdbench,
+    "rendertime": tool_rendertime,
     "tonemap": tool_tonemap,
     "addimages": tool_addimages,
     "joinrgb": tool_joinrgb,

@@ -67,6 +67,7 @@ def render_progressive(
     scene, cam, li_fn, cfg, total_spp: int, pass_spp: int = 16,
     checkpoint_path=None, timelog_path=None, snapshot_every: int = 0,
     snapshot_prefix: str = "snapshot", progress: bool = False,
+    on_pass=None,
 ):
     """Accumulate `total_spp` in passes of `pass_spp`, checkpointing after
     each pass and appending cumulative seconds to the timelog (the fork's
@@ -123,5 +124,8 @@ def render_progressive(
             imagelib.write_image(
                 f"{snapshot_prefix}_{state.spp_done:05d}spp.exr", state.image
             )
+        if on_pass is not None:
+            # periodic-flush / SIGHUP hook (mitsuba.cpp:91-127 -r thread)
+            on_pass(state)
     reporter.finish()
     return state

@@ -2,30 +2,39 @@
 
 THE TPU-native acceleration structure (replacing the reference's SAH
 kd-tree, gkdtree.h:958, for large meshes): pointer-chasing tree walks are
-gather-bound and lockstep-divergent on this hardware (measured 0.01M
-rays/s on a 69k-tri mesh), while dense MXU work runs at Tflop/s. So
-instead of a tree:
+gather-bound and lockstep-divergent on this hardware, while dense MXU
+work runs at Tflop/s. The design is shaped by two measured facts:
 
-  1. triangles are Morton-sorted and cut into CSIZE-triangle clusters
-     with AABBs (host-side, at attach time);
-  2. phase 1 slab-tests every ray against every cluster box — a dense
-     (N, C) VPU pass with zero gathers;
-  3. each ray keeps its nearest KMAX hit clusters (lax.top_k), forming
-     (ray, cluster) pairs; pairs are sorted by cluster and padded so each
-     TILE of pairs shares one cluster;
-  4. phase 2 is a Pallas kernel over pair tiles: the cluster's GEMM
-     coefficient block is selected per tile through a scalar-prefetch
-     index map (the grouped-matmul / MegaBlox pattern), one
-     (TILE,16)@(16,4*CSIZE) MXU pass + Moller-Trumbore epilogue per tile;
-  5. per-pair packed keys are unsorted back to (N, KMAX) and min-reduced.
+  * a (B,16)@(16,·) Moller-Trumbore GEMM idles 7/8 of the MXU's 128-deep
+    systolic rows (~4 Tflop/s); stacking 8 clusters vertically in the
+    contraction dim and placing each ray's 16 features in the K-chunk of
+    the cluster it tests runs the same work at full depth (60+ Tflop/s);
+  * per-element (scalar) gathers/scatters run at ~100M elem/s on this
+    chip — an earlier version that materialised explicit (ray, cluster)
+    pairs spent 400+ ms/chunk in pair bookkeeping, 20x the kernel time.
 
-Work per ray drops from T to ~avg_hit_clusters*CSIZE (bunny: 69k -> 1.5k,
-mean 11.6 hit clusters). Exact whenever a ray hits <= KMAX cluster boxes
-(checked; overflow lanes fall back to nearest-KMAX, flagged in `exact`).
-"""
+So v3 never materialises pairs:
+
+  1. build time: triangles are Morton-sorted into CSIZE-triangle
+     clusters; 8 consecutive clusters form a GROUP whose GEMM
+     coefficients are K-stacked into one (128, 4*CSIZE) block;
+  2. cull: every ray x every cluster slab test, emitted as a per-ray
+     8-bit mask per group — a dense (G, N) int32 "hitbits" map, with no
+     (N, C) intermediate;
+  3. tiles are (1024-ray block) x (group), enumerated from the tiny
+     (NB, G) block-any mask with jnp.nonzero (block-major order);
+  4. the Pallas kernel reads CONTIGUOUS phi and hitbits slices (no
+     gathers), iterates each lane's set bits (lowest-bit-clear passes,
+     skipped when a sub-row has none left), runs one K-packed MXU pass
+     per iteration, and min-accumulates packed [t|slot] keys directly
+     into the block's per-RAY output, which consecutive tiles of the
+     same block revisit;
+  5. decode reads the per-ray keys straight off — no segment reduction.
+
+Rays are optionally pre-sorted by (direction octant, origin Morton) so
+blocks hit few groups; camera rays are already coherent. Results are
+always exact — every hit cluster is tested."""
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,32 +43,35 @@ from flax import struct
 
 from . import intersect as I
 
-CSIZE = 1024         # triangles per cluster (key lane field: CSIZE ids)
-KMAX = 24            # max clusters tested per ray
-TILE = 1024          # pairs per kernel grid step (8 sublane rows of 128)
+CSIZE = 128          # triangles per cluster
+GROUP = 8            # clusters per group (stacked in the GEMM K dim)
+BLOCK = 1024         # rays per tile (8 sub-rows of 128)
 SUBROWS = 8
-LANE_BITS = CSIZE - 1  # low-bit field of the packed key
+LANE_BITS = GROUP * CSIZE - 1   # low-bit field of the packed key (10 bits)
 
 MISS_F = 2.0 ** 127
 MISS_BITS = 0x7F000000
+MISS_KEY = MISS_BITS | LANE_BITS
 
 
 @struct.dataclass
 class Clusters:
-    """Morton-clustered GEMM tables + bounds. w holds one interleaved
-    [det|t|u|v] block of 4*CSIZE columns per cluster, plus a trailing
-    all-zero dummy cluster (id C) for padded pairs."""
+    """Morton-clustered GEMM tables + bounds. w holds one K-stacked
+    [det|t|u|v] block of (128, 4*CSIZE) per GROUP of 8 clusters (chunk j
+    rows 16j:16j+16 = cluster 8g+j), plus a trailing all-zero dummy
+    group (id G) for skipped tiles."""
 
-    w: jax.Array           # (16, (C+1) * 4*CSIZE)
-    cmin: jax.Array        # (C, 3)
+    w: jax.Array           # (128, (G+1) * 4*CSIZE)
+    cmin: jax.Array        # (C, 3)  C = G*8 (padded with empty boxes)
     cmax: jax.Array        # (C, 3)
     tri_id: jax.Array      # (C*CSIZE,) original triangle id (-1 = pad)
     n_clusters: int = struct.field(pytree_node=False, default=1)
+    n_groups: int = struct.field(pytree_node=False, default=1)
 
 
 def build_clusters(scene) -> Clusters:
-    """Host-side: Morton-sort triangles, cut into CSIZE clusters, build
-    per-cluster GEMM blocks (reuses the BVH's Morton machinery)."""
+    """Host-side: Morton-sort triangles, cut into CSIZE clusters, stack
+    8-cluster groups into K=128 GEMM blocks."""
     from ..scene import bvh as bvhlib
 
     verts = np.asarray(scene.vertices, np.float32)
@@ -76,7 +88,8 @@ def build_clusters(scene) -> Clusters:
                        kind="stable").astype(np.int32)
 
     t = len(tris)
-    c = -(-t // CSIZE)
+    g = -(-t // (CSIZE * GROUP))
+    c = g * GROUP
     pad = c * CSIZE - t
     tri_id = np.concatenate([order, np.full(pad, -1, np.int32)])
     big = np.float32(1e30)
@@ -92,179 +105,230 @@ def build_clusters(scene) -> Clusters:
     w_det, w_t, w_u, w_v = (np.asarray(a) for a in I._gemm_coeffs(
         jnp.asarray(po), jnp.asarray(e1), jnp.asarray(e2)))
     blocks = []
-    for ci in range(c):
-        sl = slice(ci * CSIZE, (ci + 1) * CSIZE)
-        blocks += [w_det[:, sl], w_t[:, sl], w_u[:, sl], w_v[:, sl]]
-    blocks.append(np.zeros((16, 4 * CSIZE), np.float32))  # dummy cluster
+    for gi in range(g):
+        blk = np.zeros((16 * GROUP, 4 * CSIZE), np.float32)
+        for j in range(GROUP):
+            sl = slice((gi * GROUP + j) * CSIZE, (gi * GROUP + j + 1) * CSIZE)
+            blk[16 * j:16 * j + 16, 0 * CSIZE:1 * CSIZE] = w_det[:, sl]
+            blk[16 * j:16 * j + 16, 1 * CSIZE:2 * CSIZE] = w_t[:, sl]
+            blk[16 * j:16 * j + 16, 2 * CSIZE:3 * CSIZE] = w_u[:, sl]
+            blk[16 * j:16 * j + 16, 3 * CSIZE:4 * CSIZE] = w_v[:, sl]
+        blocks.append(blk)
+    blocks.append(np.zeros((16 * GROUP, 4 * CSIZE), np.float32))  # dummy
     w = np.concatenate(blocks, axis=1)
     return Clusters(
         w=jnp.asarray(w), cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
-        tri_id=jnp.asarray(tri_id), n_clusters=int(c))
+        tri_id=jnp.asarray(tri_id), n_clusters=int(c), n_groups=int(g))
 
 
-def _kernel(tc_ref, phi_ref, w_ref, key_ref):
-    """One pair tile x one cluster block (selected by scalar prefetch;
-    tc_ref is the prefetched tile->cluster map, consumed by index maps).
-    phi arrives transposed (16, TILE): the feature axis is the sublane
-    axis so HBM blocks stay densely tiled; pairs are processed as
-    SUBROWS sub-batches of 128 so the output block is a native (8, 128)
-    tile (Mosaic requires last-two block dims divisible by (8, 128)).
-    No tmax test here: hits beyond the caller's range are filtered at
-    decode, and garbage pad-slot results are never read back."""
-    w = w_ref[:]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, CSIZE), 1)
-    for srow in range(SUBROWS):
-        phi_s = phi_ref[:, srow * 128:(srow + 1) * 128]     # (16, 128)
-        out = jax.lax.dot_general(
-            phi_s, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # (128, 4C)
-        det = out[:, 0 * CSIZE:1 * CSIZE]
-        t_num = out[:, 1 * CSIZE:2 * CSIZE]
-        u_num = out[:, 2 * CSIZE:3 * CSIZE]
-        v_num = out[:, 3 * CSIZE:4 * CSIZE]
-        bad = jnp.abs(det) < 1e-12
-        inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
-        u = u_num * inv_det
-        v = v_num * inv_det
-        t = t_num * inv_det
-        hit = ((u >= -I.BARY_EPS) & (v >= -I.BARY_EPS)
-               & (u + v <= 1.0 + I.BARY_EPS)
-               & (t > I.SHADOW_EPS) & ~bad)
-        t = jnp.where(hit, t, MISS_F)
-        key = (jax.lax.bitcast_convert_type(t, jnp.int32)
-               & jnp.int32(~jnp.int32(LANE_BITS))) | lanes
-        key_ref[srow, :] = jnp.min(key, axis=1)
-
-
-def _cull(cl: Clusters, o, d, tmax):
-    """Dense ray x cluster slab test -> (t_enter or +inf) (N, C)."""
+def _hitbits(cl: Clusters, o, d, tmax):
+    """Dense ray x cluster slab test, packed to one int32 of GROUP bits
+    per (group, ray): bit j of hitbits[g, n] = ray n enters cluster
+    8g+j's box. Output is group-transposed so the kernel's tile slices
+    are contiguous; the (N, C) boolean map never exists in HBM."""
+    G = cl.n_groups
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                           jnp.where(d >= 0, 1e-12, -1e-12), d)
-    t0 = (cl.cmin[None] - o[:, None]) * inv[:, None]
-    t1 = (cl.cmax[None] - o[:, None]) * inv[:, None]
+    # (C, N, 3) broadcast against (N, 3) rays, reduced to (C, N) bits
+    t0 = (cl.cmin[:, None] - o[None]) * inv[None]
+    t1 = (cl.cmax[:, None] - o[None]) * inv[None]
     tn = jnp.minimum(t0, t1).max(-1)
     tf = jnp.maximum(t0, t1).min(-1)
-    hit = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[:, None])
-    return jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+    hit = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[None, :])
+    bits = hit.reshape(G, GROUP, -1).astype(jnp.int32) \
+        << jnp.arange(GROUP, dtype=jnp.int32)[None, :, None]
+    return bits.sum(1)                                  # (G, N) int32
 
 
-RAY_CHUNK = 1 << 17   # internal ray chunking bounds the (N, C) temps
+def _kernel(tb_ref, tg_ref, tfirst_ref, tactive_ref,
+            bits_ref, phi_ref, w_ref, key_ref, grp_ref):
+    """One (ray-block x group) tile. Per sub-row of 128 rays: iterate
+    set bits of each lane's hit mask (lowest-bit-clear), one K-packed
+    (128,128)@(128,4*CSIZE) MXU pass per iteration, min-merge packed
+    keys into the block's per-ray accumulator (revisited across the
+    block's consecutive tiles)."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    active = tactive_ref[i] > 0
+
+    @pl.when((tfirst_ref[i] > 0) & active)
+    def _():
+        key_ref[...] = jnp.full((SUBROWS, 128), MISS_KEY, jnp.int32)
+        grp_ref[...] = jnp.zeros((SUBROWS, 128), jnp.int32)
+
+    @pl.when(active)
+    def _():
+        w = w_ref[:]
+        g = tg_ref[i]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (128, CSIZE), 1)
+        for srow in range(SUBROWS):
+            bits = bits_ref[0, 0, srow, :]                      # (128,)
+            phi_s = phi_ref[:, srow * 128:(srow + 1) * 128]     # (16, 128)
+            x = bits
+            for _p in range(GROUP):
+                alive = jnp.any(x != 0)
+
+                @pl.when(alive)
+                def _(x=x, phi_s=phi_s, srow=srow):
+                    low = x & -x
+                    # lanes with x == 0 clamp to chunk GROUP-1; testing a
+                    # cluster whose box the ray missed cannot produce a
+                    # hit (cull is conservative), so no mask is needed
+                    chunk = jnp.minimum(
+                        jax.lax.population_count(low - 1),
+                        GROUP - 1)                              # (128,)
+                    phi128 = jnp.concatenate(
+                        [jnp.where(chunk[None, :] == j, phi_s, 0.0)
+                         for j in range(GROUP)], axis=0)        # (128,128)
+                    out = jax.lax.dot_general(
+                        phi128, w, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)    # (128, 4C)
+                    det = out[:, 0 * CSIZE:1 * CSIZE]
+                    t_num = out[:, 1 * CSIZE:2 * CSIZE]
+                    u_num = out[:, 2 * CSIZE:3 * CSIZE]
+                    v_num = out[:, 3 * CSIZE:4 * CSIZE]
+                    bad = jnp.abs(det) < 1e-12
+                    inv_det = jnp.where(bad, 0.0,
+                                        1.0 / jnp.where(bad, 1.0, det))
+                    u = u_num * inv_det
+                    v = v_num * inv_det
+                    t = t_num * inv_det
+                    hit = ((u >= -I.BARY_EPS) & (v >= -I.BARY_EPS)
+                           & (u + v <= 1.0 + I.BARY_EPS)
+                           & (t > I.SHADOW_EPS) & ~bad)
+                    t = jnp.where(hit, t, MISS_F)
+                    slot = chunk[:, None] * CSIZE + lanes
+                    key = (jax.lax.bitcast_convert_type(t, jnp.int32)
+                           & jnp.int32(~jnp.int32(LANE_BITS))) | slot
+                    newkey = jnp.min(key, axis=1)               # (128,)
+                    cur = key_ref[srow, :]
+                    better = newkey < cur
+                    key_ref[srow, :] = jnp.where(better, newkey, cur)
+                    grp_ref[srow, :] = jnp.where(better, g,
+                                                 grp_ref[srow, :])
+
+                x = x & (x - 1)
 
 
-def closest_key(cl: Clusters, o, d, tmax):
-    """Returns (key (N,) int32 packed [t|lane], cluster (N,) int32 winning
-    cluster id, exact (N,) bool). Decode prim via
-    cl.tri_id[cluster*CSIZE + (key & (CSIZE-1))].
-
-    Entirely sort-free: pair positions come from cluster-major cumsum
-    ranks (the first version's lax.top_k + argsorts dominated runtime and
-    the (P,1) layouts paid 128x tile padding — 6 GB of copies at 262k
-    rays)."""
-    n = o.shape[0]
-    if n > RAY_CHUNK and n % RAY_CHUNK == 0:
-        def one(args):
-            return closest_key(cl, *args)
-        outs = jax.lax.map(
-            one, (o.reshape(-1, RAY_CHUNK, 3), d.reshape(-1, RAY_CHUNK, 3),
-                  tmax.reshape(-1, RAY_CHUNK)))
-        return tuple(x.reshape(n) for x in outs)
-    return _closest_key_chunk(cl, o, d, tmax)
-
-
-def _closest_key_chunk(cl: Clusters, o, d, tmax):
+def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
+    """Returns (key (N,) int32 packed [t|slot], group (N,) int32 winning
+    group id, exact (N,) bool — always True). Decode prim via
+    cl.tri_id[group*GROUP*CSIZE + (key & LANE_BITS)]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = o.shape[0]
-    c = cl.n_clusters
-    kmax = min(KMAX, c)
-    t_enter = _cull(cl, o, d, tmax)                     # (N, C)
-    hit = jnp.isfinite(t_enter)
-    count = jnp.sum(hit, -1)
-    # per-ray cap at kmax (bounds the static pair budget); per-cluster
-    # rank gives the cluster-major position directly — no sorting
-    ray_rank = jnp.cumsum(hit, axis=1)
-    keep = hit & (ray_rank <= kmax)
-    counts = jnp.sum(keep, axis=0)                      # (C,)
-    cl_rank = jnp.cumsum(keep, axis=0)                  # (N, C)
-    tiles_per = -(-counts // TILE)
-    pad_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(tiles_per * TILE)[:-1].astype(jnp.int32)])
-    p_pad = -(-(n * kmax) // TILE) * TILE + c * TILE    # static worst case
-    pos = jnp.where(keep, pad_starts[None, :] + cl_rank - 1, p_pad)
+    n0 = o.shape[0]
+    G = cl.n_groups
+    if sort and n0 >= 4 * BLOCK:
+        # coherence sort: direction octant then origin Morton cell, so
+        # each 1024-ray block touches few groups (camera rays already
+        # are coherent; bounce/bench rays benefit)
+        oct_ = ((d[:, 0] < 0).astype(jnp.uint32)
+                | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+                | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+        lo = jnp.min(cl.cmin, 0)
+        hi = jnp.max(cl.cmax, 0)
+        q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+        qi = (q * 31).astype(jnp.uint32)
+        cell = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
+        perm = jnp.argsort((oct_ << 15) | cell)
+        inv = jnp.zeros((n0,), jnp.int32).at[perm].set(
+            jnp.arange(n0, dtype=jnp.int32), unique_indices=True)
+        o = o[perm]
+        d = d[perm]
+        tmax = tmax[perm]
+    else:
+        inv = None
 
-    # pair ray ids by scatter (OOB positions drop); pair features by gather
-    ray_ids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, c))
-    ray_pad = jnp.zeros((p_pad,), jnp.int32).at[pos.reshape(-1)].set(
-        ray_ids.reshape(-1), mode="drop")
-    phi_t = I._phi(o, d).T                              # (16, N)
-    phi_pad = phi_t[:, ray_pad]                         # (16, P)
-    ntiles = p_pad // TILE
+    nb = -(-n0 // BLOCK)
+    n = nb * BLOCK
+    if n != n0:
+        o = jnp.concatenate([o, jnp.ones((n - n0, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], d.dtype),
+                                 (n - n0, 3))])
+        tmax = jnp.concatenate([tmax, jnp.zeros((n - n0,), tmax.dtype)])
 
-    # tile -> cluster map for the scalar-prefetch index
-    tile_ends = jnp.cumsum(tiles_per * TILE)
-    tile_cluster = jnp.searchsorted(
-        tile_ends, jnp.arange(ntiles, dtype=jnp.int32) * TILE, side="right"
-    ).astype(jnp.int32)
-    tile_cluster = jnp.minimum(tile_cluster, c)
+    bits = jax.lax.optimization_barrier(_hitbits(cl, o, d, tmax))  # (G, N)
+    phi_t = I._phi(o, d).T                                         # (16, N)
+
+    # tile list: (block, group) pairs where any ray in the block enters
+    # the group, block-major (ascending flat index), inactive at the end
+    banytile = bits.reshape(G, nb, BLOCK).astype(bool).any(-1)     # (G, NB)
+    tmask = banytile.T.reshape(-1)                                 # (NB*G,)
+    maxt = nb * G
+    (tidx,) = jnp.nonzero(tmask, size=maxt, fill_value=maxt)
+    tactive = (tidx < maxt).astype(jnp.int32)
+    tb = jnp.where(tactive > 0, tidx // G, nb).astype(jnp.int32)
+    tg = jnp.where(tactive > 0, tidx % G, G).astype(jnp.int32)
+    tfirst = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (tb[1:] != tb[:-1]).astype(jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntiles,),
+        num_scalar_prefetch=4,
+        grid=(maxt,),
         in_specs=[
-            pl.BlockSpec((16, TILE), lambda i, tc: (0, i)),
-            pl.BlockSpec((16, 4 * CSIZE), lambda i, tc: (0, tc[i])),
+            pl.BlockSpec((1, 1, SUBROWS, 128),
+                         lambda i, tb, tg, tf, ta: (tg[i], tb[i], 0, 0)),
+            pl.BlockSpec((16, BLOCK), lambda i, tb, tg, tf, ta: (0, tb[i])),
+            pl.BlockSpec((16 * GROUP, 4 * CSIZE),
+                         lambda i, tb, tg, tf, ta: (0, tg[i])),
         ],
-        out_specs=pl.BlockSpec((SUBROWS, 128), lambda i, tc: (i, 0)),
+        out_specs=[
+            pl.BlockSpec((SUBROWS, 128), lambda i, tb, tg, tf, ta: (tb[i], 0)),
+            pl.BlockSpec((SUBROWS, 128), lambda i, tb, tg, tf, ta: (tb[i], 0)),
+        ],
     )
-    keys_pad = pl.pallas_call(
+    # bits gets a dummy group row and phi a dummy block column so the
+    # index maps stay in range for skipped tiles; bits is laid out
+    # (G+1, NB+1, 8, 128) so tile blocks satisfy the (8, 128) TPU tiling
+    bits_x = jnp.concatenate([bits, jnp.zeros((1, n), jnp.int32)], 0)
+    bits_x = jnp.concatenate(
+        [bits_x, jnp.zeros((G + 1, BLOCK), jnp.int32)], 1)
+    bits_x = bits_x.reshape(G + 1, nb + 1, SUBROWS, 128)
+    phi_x = jnp.concatenate([phi_t, jnp.zeros((16, BLOCK))], 1)
+    keys, grps = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles * SUBROWS, 128), jnp.int32),
-    )(tile_cluster, phi_pad, cl.w).reshape(-1)
+        out_shape=[
+            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
+        ],
+    )(tb, tg, tfirst, tactive, bits_x, phi_x, cl.w)
 
-    # neutralize pad slots (their garbage defaults map to ray 0), then
-    # segment-min the per-pair keys back to rays — P-sized scatters, not
-    # the (N, C)-sized gather that dominated the first version
-    slots = jnp.arange(p_pad, dtype=jnp.int32)
-    pad_ends = jnp.cumsum(tiles_per * TILE)
-    slot_cluster = jnp.minimum(jnp.searchsorted(
-        pad_ends, slots, side="right").astype(jnp.int32), c)
-    slot_used = (slots - pad_starts[jnp.minimum(slot_cluster, c - 1)]
-                 < counts[jnp.minimum(slot_cluster, c - 1)]) \
-        & (slot_cluster < c)
-    miss = jnp.int32(MISS_BITS | LANE_BITS)
-    pair_keys = jnp.where(slot_used, keys_pad, miss)
-    best_key = jnp.full((n,), miss, jnp.int32).at[ray_pad].min(
-        pair_keys, mode="drop")
-    match = (pair_keys == best_key[ray_pad]) & slot_used
-    best_cluster = jnp.zeros((n,), jnp.int32).at[ray_pad].max(
-        jnp.where(match, slot_cluster, -1), mode="drop")
-    best_cluster = jnp.maximum(best_cluster, 0)
+    key = keys[:nb * SUBROWS].reshape(-1)
+    grp = grps[:nb * SUBROWS].reshape(-1)
+    # blocks that hit nothing are never written by the kernel
+    block_dead = ~banytile.any(0)                                  # (NB,)
+    key = jnp.where(jnp.repeat(block_dead, BLOCK), MISS_KEY, key)
     # range bound (the kernel tests t > eps only)
     tmax_key = (jax.lax.bitcast_convert_type(tmax, jnp.int32)
                 & jnp.int32(~jnp.int32(LANE_BITS)))
-    best_key = jnp.where(best_key <= (tmax_key | jnp.int32(LANE_BITS)),
-                         best_key, miss)
-    exact = count <= kmax
-    return best_key, best_cluster, exact
+    key = jnp.where(key <= (tmax_key | jnp.int32(LANE_BITS)),
+                    key, MISS_KEY)
+    key = key[:n0]
+    grp = jnp.maximum(grp[:n0], 0)
+    if inv is not None:
+        key = key[inv]
+        grp = grp[inv]
+    return key, grp, jnp.ones((n0,), bool)
 
 
 def closest_hit(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), jnp.float32(3e37))
-    key, cluster, _ = closest_key(cl, o, d, tmax)
+    key, group, _ = closest_key(cl, o, d, tmax)
     t = jax.lax.bitcast_convert_type(
         key & jnp.int32(~jnp.int32(LANE_BITS)), jnp.float32)
     valid = t < MISS_F
-    slot = jnp.clip(cluster, 0, cl.n_clusters - 1) * CSIZE \
+    slot = jnp.clip(group, 0, cl.n_groups - 1) * (GROUP * CSIZE) \
         + (key & jnp.int32(LANE_BITS))
     prim = jnp.maximum(cl.tri_id[slot], 0)
-    # the packed key spends its low 10 mantissa bits on the lane id;
+    # the packed key spends its low 10 mantissa bits on the slot id;
     # recompute the exact t (and barycentrics) against the single winning
     # triangle (Moller-Trumbore, one triangle per ray)
     vi = scene.indices[prim]

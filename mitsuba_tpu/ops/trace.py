@@ -5,12 +5,13 @@ with a hardware-aware policy:
 
   * CPU backend: stackless BVH traversal when a BVH is attached (pointer
     chasing is fine on a scalar core), VPU brute otherwise.
-  * TPU backend: the fused MXU brute kernel up to PALLAS_BRUTE_MAX_TRIS —
-    measured ~150x faster than the gather-bound BVH walk at bunny scale
-    (69k tris: 1.6M rays/s vs 0.01M; random per-lane gathers inside
-    while_loop bodies are the TPU's weakest operation, dense MXU passes
-    its strongest). Beyond the cap, the BVH walk is still the asymptotic
-    winner and is used when attached.
+  * TPU backend: the fused MXU brute kernel up to PALLAS_BRUTE_MAX_TRIS
+    (tiny scenes: zero orchestration, Cornell runs 149M rays/s), then
+    the block-coherent binned intersector (ops/binned_intersect.py) —
+    measured 5.4M rays/s at 70k tris and 3.2M at 262k vs 0.43M brute
+    and 0.01M for the gather-bound BVH walk (random per-lane gathers
+    inside while_loop bodies are the TPU's weakest operation, dense MXU
+    passes its strongest).
 
 This is the round-2 measured answer to SURVEY §2.2's ShapeKDTree: on this
 hardware the systolic array beats tree pointer-chasing for any scene whose
@@ -22,8 +23,8 @@ import jax
 
 from . import intersect as _isect
 
-# beyond this the O(N*T) MXU brute loses to even a slow tree walk
-PALLAS_BRUTE_MAX_TRIS = 1 << 18
+# beyond this the O(N*T) MXU brute loses to the binned two-phase kernel
+PALLAS_BRUTE_MAX_TRIS = 4096
 
 
 def _prefer_brute(scene) -> bool:

@@ -68,10 +68,11 @@ def trace_volume_photons(scene, cfg: RenderConfig, n_paths: int, seed: int):
         pval.append(event)
         # continue by phase sampling
         u2 = jnp.stack([u(12 + 8 * b), u(13 + 8 * b)], -1)
+        ph_ax = medlib.phase_axis(med, x)
         wo, pdf_ph = phaselib.sample(med.phase, med.g, -d, u2,
-                                     med.phase_params)
+                                     med.phase_params, ph_ax)
         w_ph = phaselib.sample_weight(med.phase, med.g, -d, wo, pdf_ph,
-                                      med.phase_params)
+                                      med.phase_params, ph_ax)
         o = x
         d = jnp.where(event[:, None], wo, d)
         beta = jnp.where(event[:, None], beta_evt * w_ph[:, None], 0.0)
@@ -122,11 +123,14 @@ def render(scene, cam, cfg: RenderConfig, n_paths: int = 1 << 16,
         x = o + d * tk[:, None]
 
         def reduce_fn(acc, pidx, mask):
+            ph_ax = medlib.phase_axis(
+                med, jnp.broadcast_to(x[:, None, :],
+                                      pdir[pidx].shape).reshape(-1, 3))
             ph_val, ph_pdf = phaselib.eval_pdf(
                 med.phase, med.g,
                 -pdir[pidx].reshape(-1, 3),
                 jnp.broadcast_to(d[:, None, :], pdir[pidx].shape).reshape(-1, 3),
-                med.phase_params)
+                med.phase_params, ph_ax)
             ph = ph_val.reshape(mask.shape)
             contrib = ppow[pidx] * ph[..., None]
             return acc + jnp.sum(

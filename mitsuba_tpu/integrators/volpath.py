@@ -78,7 +78,8 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         # phaselib's wi convention = toward the previous vertex, which is
         # exactly what nee() receives in wi_world
         ph_v, ph_pdf = phaselib.eval_pdf(med.phase, med.g, wi_world, ds.d,
-                                         med.phase_params)
+                                         med.phase_params,
+                                         medlib.phase_axis(med, p))
         f = jnp.where(is_medium_lane[:, None], ph_v[:, None] * jnp.ones(3), f_s)
         pdf_fwd = jnp.where(is_medium_lane, ph_pdf, pdf_s)
         # beta>0 gate: zero-throughput lanes (e.g. near-vacuum medium events
@@ -152,10 +153,11 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         # phaselib.sample takes wi pointing toward the previous vertex (-d);
         # the sample weight is 1 for the exactly-sampled kinds and
         # value/pdf for kkay/mixture (statically elided otherwise)
+        ph_ax = medlib.phase_axis(med, p_m)
         wo_m, pdf_ph = phaselib.sample(med.phase, med.g, -d, u2_ph,
-                                       med.phase_params)
+                                       med.phase_params, ph_ax)
         w_ph = phaselib.sample_weight(med.phase, med.g, -d, wo_m, pdf_ph,
-                                      med.phase_params)
+                                      med.phase_params, ph_ax)
         beta_m_cont = beta_m * w_ph[:, None]
 
         # === surface event ===============================================

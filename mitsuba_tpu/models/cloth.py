@@ -21,11 +21,12 @@ The weave pattern text format (irawan.h WeavePatternGrammar: `weave {
 name=..., tileWidth=..., pattern {..}, yarn {..}, .. }` with `$var`
 references into the XML properties) is parsed by parse_weave().
 
-Documented deviations: the Perlin-noise umax perturbation enabled by
-`period > 0` (irawan.cpp:263-274) is not implemented (patterns with
-period=0 — the common case — are exact); the intensity-variation seeds
-use our counter-based hash instead of TEA, preserving the
-min(-log(xi), 10) distribution but not bit-layout.
+Documented deviations: the Perlin-noise umax perturbation
+(irawan.cpp:255-274, `period > 0`) uses core/noise.py's hash-lattice
+Perlin and hash-derived per-segment seed floats instead of the
+permutation-table Perlin + TEA of the reference — same construction and
+statistics, different bit-layout; likewise the intensity-variation
+seeds preserve the min(-log(xi), 10) law but not TEA's bits.
 """
 from __future__ import annotations
 
@@ -38,6 +39,7 @@ from flax import struct
 
 from ..core import math as m
 from ..core.rng import hash_u32
+from ..core import noise as noiselib
 
 INV_PI = 1.0 / np.pi
 
@@ -74,6 +76,11 @@ class WeavePattern:
         self.weft_area = kw.get("weftArea", 1.0)
         self.fineness = kw.get("fineness", 0.0)
         self.period = kw.get("period", 0.0)
+        # Perlin umax perturbation slopes (irawan.cpp:255-274), radians
+        self.dWarpUmaxOverDWarp = kw.get("dWarpUmaxOverDWarp", 0.0)
+        self.dWarpUmaxOverDWeft = kw.get("dWarpUmaxOverDWeft", 0.0)
+        self.dWeftUmaxOverDWarp = kw.get("dWeftUmaxOverDWarp", 0.0)
+        self.dWeftUmaxOverDWeft = kw.get("dWeftUmaxOverDWeft", 0.0)
         self.pattern = np.asarray(kw.get("pattern", [1]), np.int32)
         self.yarns = kw.get("yarns", [])
         self.spec_norm = 0.0                     # filled by normalization
@@ -241,7 +248,9 @@ class ClothTables:
     #             centerV, kd.rgb, ks.rgb]  (C, Y_max, 14)
     yarn: jax.Array
     # pattern rows: [alpha, beta, ss, hWidth, scaleWarp, scaleWeft,
-    #                fineness, specNorm]  (C, 8)
+    #                fineness, specNorm, period, dWarpUmaxOverDWarp,
+    #                dWarpUmaxOverDWeft, dWeftUmaxOverDWarp,
+    #                dWeftUmaxOverDWeft]  (C, 13)
     patp: jax.Array
 
 
@@ -256,7 +265,7 @@ def build_tables(entries, n_materials: int, mat_slots: dict) -> ClothTables:
     tile = np.zeros((C, 2), np.int32)
     repeat = np.zeros((C, 2), np.float32)
     yarn = np.zeros((C, y_max, 14), np.float32)
-    patp = np.zeros((C, 8), np.float32)
+    patp = np.zeros((C, 13), np.float32)
     for c, (p, ru, rv) in enumerate(entries):
         tw, th = p.tile_width, p.tile_height
         grid[c, :th, :tw] = p.pattern.reshape(th, tw) - 1
@@ -269,7 +278,9 @@ def build_tables(entries, n_materials: int, mat_slots: dict) -> ClothTables:
         patp[c] = [p.alpha, p.beta, p.ss, p.h_width,
                    total / max(p.warp_area, 1e-9),
                    total / max(p.weft_area, 1e-9),
-                   p.fineness, p.spec_norm]
+                   p.fineness, p.spec_norm, p.period,
+                   p.dWarpUmaxOverDWarp, p.dWarpUmaxOverDWeft,
+                   p.dWeftUmaxOverDWarp, p.dWeftUmaxOverDWeft]
     slot = np.full((n_materials,), -1, np.int32)
     for mid, s in mat_slots.items():
         slot[mid] = s
@@ -315,13 +326,34 @@ def gather_yarn(cloth: ClothTables, mat: jax.Array, uv: jax.Array):
     xr = jnp.where(is_weft > 0.5, -yy, xx)
     yr_ = jnp.where(is_weft > 0.5, xx, yy)
 
-    u_c = yr_ / (l_ / 2.0) * umax
-    v_c = xr * jnp.pi / w_
-
     pp = cloth.patp[slot]
     alpha_sc, beta_sc, ss, hw = pp[..., 0], pp[..., 1], pp[..., 2], pp[..., 3]
     scale = jnp.where(is_weft > 0.5, pp[..., 5], pp[..., 4])
     fineness, spec_norm = pp[..., 6], pp[..., 7]
+
+    # correlated Perlin umax perturbation per yarn segment
+    # (irawan.cpp:255-274; period > 0 enables it). The per-segment seed
+    # floats use the framework hash in place of sampleTEAFloat, like the
+    # intensity variation below.
+    period = pp[..., 8]
+    d_uw = jnp.where(is_weft > 0.5, pp[..., 11], pp[..., 9])
+    d_uf = jnp.where(is_weft > 0.5, pp[..., 12], pp[..., 10])
+    px = cx.astype(jnp.int32).astype(jnp.uint32)
+    py = cy.astype(jnp.int32).astype(jnp.uint32)
+    tea1 = (hash_u32(px, 2 * py).astype(jnp.float32) + 0.5) \
+        * (1.0 / 4294967296.0)
+    tea2 = (hash_u32(px, 2 * py + 1).astype(jnp.float32) + 0.5) \
+        * (1.0 / 4294967296.0)
+    safe_p = jnp.maximum(period, 1e-9)
+    r1 = noiselib.perlin_noise_1d(
+        (cx * (th * rv + tea1) + cy) / safe_p)
+    r2 = noiselib.perlin_noise_1d(
+        (cy * (tw * ru + tea2) + cx) / safe_p)
+    umax = jnp.where(period > 0.0,
+                     umax + r1 * d_uw + r2 * d_uf, umax)
+
+    u_c = yr_ / (l_ / 2.0) * umax
+    v_c = xr * jnp.pi / w_
 
     # log-exponential intensity variation (irawan.cpp:296-303; hash in
     # place of TEA, same min(-log xi, 10) law)

@@ -36,6 +36,10 @@ class Medium:
     box_max: jax.Array = None          # (3,)
     # hierarchical grids: (BZ,BY,BX) int32 cell -> block id, -1 = empty
     block_table: jax.Array = None
+    # optional per-voxel fiber axis (D,H,W,3) over the same box — the
+    # reference's orientation volumes (kkay.cpp mRec.orientation,
+    # heterogeneous.cpp m_orientation); None = static phase_params axis
+    orientation: jax.Array = None
     kind: int = struct.field(pytree_node=False, default=MEDIUM_HOMOGENEOUS)
     phase: int = struct.field(pytree_node=False, default=phaselib.PHASE_HG)
     # static parameter tuple for kkay/mixture phases (phase.py docstring)
@@ -60,8 +64,10 @@ def make_homogeneous(sigma_s, sigma_a, g=0.0,
 def make_grid(density: np.ndarray, sigma_t_scale, albedo, g=0.0,
               box_min=(0, 0, 0), box_max=(1, 1, 1),
               phase: int = phaselib.PHASE_HG,
-              phase_params: tuple = ()) -> Medium:
-    """Heterogeneous medium: sigma_t(x) = density(x) * sigma_t_scale."""
+              phase_params: tuple = (), orientation=None) -> Medium:
+    """Heterogeneous medium: sigma_t(x) = density(x) * sigma_t_scale.
+    `orientation` is an optional (D,H,W,3) per-voxel fiber-axis grid for
+    the kkay/microflake phases (orientation volumes)."""
     return Medium(
         sigma_t=jnp.asarray(sigma_t_scale, jnp.float32) * jnp.ones(3),
         albedo=jnp.asarray(albedo, jnp.float32) * jnp.ones(3),
@@ -69,6 +75,8 @@ def make_grid(density: np.ndarray, sigma_t_scale, albedo, g=0.0,
         density=jnp.asarray(density, jnp.float32),
         box_min=jnp.asarray(box_min, jnp.float32),
         box_max=jnp.asarray(box_max, jnp.float32),
+        orientation=None if orientation is None
+        else jnp.asarray(orientation, jnp.float32),
         kind=MEDIUM_GRID, phase=phase, phase_params=phase_params,
     )
 
@@ -157,6 +165,49 @@ def _density_hgrid(med: Medium, p: jax.Array) -> jax.Array:
         + g[b, z1, y1, x1] * tx * ty * tz
     )
     return jnp.where(inside & occupied, c, 0.0)
+
+
+def orientation_at(med: Medium, p: jax.Array) -> jax.Array:
+    """Trilinear fiber-axis lookup (gridvolume.cpp lookupVector: the
+    reference interpolates then normalizes). Degenerate interpolants
+    (opposing axes cancelling) and out-of-box points fall back to +z so
+    the phase frame stays well-defined."""
+    rel = (p - med.box_min) / jnp.maximum(med.box_max - med.box_min, 1e-9)
+    o_ = med.orientation
+    d_, h_, w_ = o_.shape[:3]
+    fx = rel[..., 0] * (w_ - 1)
+    fy = rel[..., 1] * (h_ - 1)
+    fz = rel[..., 2] * (d_ - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, max(w_ - 2, 0))
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, max(h_ - 2, 0))
+    z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, max(d_ - 2, 0))
+    tx = jnp.clip(fx - x0, 0.0, 1.0)[..., None]
+    ty = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
+    tz = jnp.clip(fz - z0, 0.0, 1.0)[..., None]
+    x1 = jnp.minimum(x0 + 1, w_ - 1)
+    y1 = jnp.minimum(y0 + 1, h_ - 1)
+    z1 = jnp.minimum(z0 + 1, d_ - 1)
+    v = (
+        o_[z0, y0, x0] * (1 - tx) * (1 - ty) * (1 - tz)
+        + o_[z0, y0, x1] * tx * (1 - ty) * (1 - tz)
+        + o_[z0, y1, x0] * (1 - tx) * ty * (1 - tz)
+        + o_[z0, y1, x1] * tx * ty * (1 - tz)
+        + o_[z1, y0, x0] * (1 - tx) * (1 - ty) * tz
+        + o_[z1, y0, x1] * tx * (1 - ty) * tz
+        + o_[z1, y1, x0] * (1 - tx) * ty * tz
+        + o_[z1, y1, x1] * tx * ty * tz
+    )
+    ln = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), v.shape)
+    return jnp.where(ln > 1e-6, v / jnp.maximum(ln, 1e-6), fallback)
+
+
+def phase_axis(med: Medium, p: jax.Array):
+    """Per-lane fiber axis for the phase function at points p, or None
+    when the medium has no orientation volume (static params axis)."""
+    if med.orientation is None:
+        return None
+    return orientation_at(med, p)
 
 
 def density_at(med: Medium, p: jax.Array) -> jax.Array:

@@ -70,12 +70,16 @@ def _kkay_norm(exponent: float) -> float:
     return 1.0 / (2.0 * pymath.pi * integral)
 
 
-def kkay_eval(params, wi: jax.Array, wo: jax.Array) -> jax.Array:
+def kkay_eval(params, wi: jax.Array, wo: jax.Array,
+              axis: jax.Array | None = None) -> jax.Array:
     """Kajiya-Kay fiber phase (kkay.cpp eval): diffuse kd/4pi plus a
     specular cone about the fiber axis — wo's component along the axis
-    replaced by the mirrored -wi one, renormalized, raised to exponent."""
+    replaced by the mirrored -wi one, renormalized, raised to exponent.
+    `axis` (per-lane, from an orientation volume — kkay.cpp reads
+    mRec.orientation) overrides the static params axis."""
     ax, ay, az, ks, kd, exponent = params
-    axis = m.normalize(jnp.asarray([ax, ay, az], jnp.float32))
+    if axis is None:
+        axis = m.normalize(jnp.asarray([ax, ay, az], jnp.float32))
     wo_par = m.dot(wo, axis)
     perp = wo - wo_par[..., None] * axis
     refl_par = -m.dot(wi, axis)
@@ -141,13 +145,15 @@ def _mf_sigma_t(params, cos_theta):
     return tab[i0] * (1.0 - f) + tab[i0 + 1] * f
 
 
-def _microflake_eval(params, wi, wo):
+def _microflake_eval(params, wi, wo, axis=None):
     """microflake.cpp eval: 0.5 D(cos theta_H) / sigma_t(cos theta_wi)
-    in the fiber frame (this IS also the sampling pdf)."""
-    ax = m.normalize(jnp.asarray(params[0:3], jnp.float32))
+    in the fiber frame (this IS also the sampling pdf). `axis` (per-lane)
+    overrides the static fiber axis (orientation volumes)."""
     s = params[3]
     norm = params[4]
-    axis = jnp.broadcast_to(ax, wi.shape)
+    if axis is None:
+        ax = m.normalize(jnp.asarray(params[0:3], jnp.float32))
+        axis = jnp.broadcast_to(ax, wi.shape)
     wi_l = m.to_local(axis, wi)
     wo_l = m.to_local(axis, wo)
     h = wi_l + wo_l
@@ -158,7 +164,7 @@ def _microflake_eval(params, wi, wo):
     return jnp.where(hlen > 1e-9, 0.5 * d_h / sig, 0.0)
 
 
-def _microflake_sample(params, wi, u2, n_tries: int = 16):
+def _microflake_sample(params, wi, u2, n_tries: int = 16, axis=None):
     """Flake-normal sampling (microflake_fiber.h sample + the rejection
     loop of microflake.cpp:146-165, TPU-shaped): cos theta_m inverts the
     longitudinal CDF in closed form via erfinv (the reference runs Brent),
@@ -166,10 +172,11 @@ def _microflake_sample(params, wi, u2, n_tries: int = 16):
     first-accept select instead of a data-dependent loop."""
     from jax.scipy.special import erfinv
 
-    ax = m.normalize(jnp.asarray(params[0:3], jnp.float32))
     s = params[3]
     c1 = params[5]
-    axis = jnp.broadcast_to(ax, wi.shape)
+    if axis is None:
+        ax = m.normalize(jnp.asarray(params[0:3], jnp.float32))
+        axis = jnp.broadcast_to(ax, wi.shape)
     wi_l = m.to_local(axis, wi)
 
     shape = u2.shape[:-1]
@@ -197,12 +204,12 @@ def _microflake_sample(params, wi, u2, n_tries: int = 16):
         accepted = accepted | ok
 
     wo = m.to_world(axis, best_wo)
-    pdf = jnp.where(accepted, _microflake_eval(params, wi, wo), 0.0)
+    pdf = jnp.where(accepted, _microflake_eval(params, wi, wo, axis), 0.0)
     return wo, pdf
 
 
 def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
-             params: tuple = ()):
+             params: tuple = (), axis: jax.Array | None = None):
     """Returns (value, pdf) — equal for isotropic/HG (perfect importance
     sampling); Rayleigh is sampled exactly too (inversion of the cubic);
     kkay is sampled uniformly (kkay.cpp pdf), so value != pdf there."""
@@ -217,10 +224,10 @@ def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
         v = rayleigh_eval(ct)
         return v, v
     if kind == PHASE_KKAY:
-        v = kkay_eval(params, wi, wo)
+        v = kkay_eval(params, wi, wo, axis)
         return v, jnp.full(ct.shape, INV_FOURPI)
     if kind == PHASE_MICROFLAKE:
-        v = _microflake_eval(params, wi, wo)
+        v = _microflake_eval(params, wi, wo, axis)
         return v, v
     if kind == PHASE_MIXTURE:
         ka, wa, ga, kb, wb, gb = params
@@ -232,7 +239,7 @@ def eval_pdf(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
 
 
 def sample(kind: int, g: jax.Array, wi: jax.Array, u2: jax.Array,
-           params: tuple = ()):
+           params: tuple = (), axis: jax.Array | None = None):
     """Sample wo ~ phase(-wi, .). Returns (wo, pdf). Weight is 1 for the
     exactly-sampled kinds; kkay/mixture callers must apply value/pdf
     (see sample_weight) — kkay is uniform-sphere sampled like kkay.cpp,
@@ -244,7 +251,7 @@ def sample(kind: int, g: jax.Array, wi: jax.Array, u2: jax.Array,
         wo = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
         return wo, jnp.full(u2.shape[:-1], INV_FOURPI)
     if kind == PHASE_MICROFLAKE:
-        return _microflake_sample(params, wi, u2)
+        return _microflake_sample(params, wi, u2, axis=axis)
     if kind == PHASE_MIXTURE:
         ka, wa, ga, kb, wb, gb = params
         p_a = wa / (wa + wb)
@@ -292,7 +299,8 @@ def sample(kind: int, g: jax.Array, wi: jax.Array, u2: jax.Array,
 
 
 def sample_weight(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
-                  pdf: jax.Array, params: tuple = ()):
+                  pdf: jax.Array, params: tuple = (),
+                  axis: jax.Array | None = None):
     """Throughput factor value/pdf for a direction drawn by sample().
     Statically 1 for the exactly-sampled kinds, so integrators pay the
     extra eval only when a kkay/mixture medium is actually present."""
@@ -302,5 +310,5 @@ def sample_weight(kind: int, g: jax.Array, wi: jax.Array, wo: jax.Array,
         # exactly (pdf == eval), so the weight is 1 (or 0 on the rare
         # all-rejected lane, which pdf=0 already kills)
         return jnp.ones(pdf.shape)
-    v, _ = eval_pdf(kind, g, wi, wo, params)
+    v, _ = eval_pdf(kind, g, wi, wo, params, axis)
     return m.safe_div(v, jnp.maximum(pdf, 1e-12))

@@ -288,8 +288,32 @@ class _Loader:
                                           phase_params=phase_params)
         elif typ == "heterogeneous":
             dens = None
+            orientation = None
             box_min, box_max = (0, 0, 0), (1, 1, 1)
             for child in node:
+                if child.tag == "volume" and \
+                        child.attrib.get("name") == "orientation":
+                    # per-voxel fiber axes for kkay/microflake phases
+                    # (heterogeneous.cpp m_orientation)
+                    vt = child.attrib["type"]
+                    vp = _props(child, self.subst)
+                    if vt == "gridvolume":
+                        from ..io import vol as vollib
+                        orientation, _, _ = vollib.read_vol(
+                            str(self.base / vp["filename"]))
+                        if orientation.ndim != 4 or \
+                                orientation.shape[-1] != 3:
+                            raise ValueError(
+                                "orientation volume must have 3 channels")
+                    elif vt == "constvolume":
+                        v = np.asarray(vp.get("value", [0, 0, 1]),
+                                       np.float32).reshape(3)
+                        orientation = np.broadcast_to(
+                            v, (2, 2, 2, 3)).copy()
+                    else:
+                        raise ValueError(
+                            f"unsupported orientation volume '{vt}'")
+                    continue
                 if child.tag == "volume" and \
                         child.attrib.get("name", "density") == "density":
                     vt = child.attrib["type"]
@@ -333,7 +357,8 @@ class _Loader:
                 alb = np.asarray(alb, np.float32)
             med = medlib.make_grid(dens, scale, alb, g=g,
                                    box_min=box_min, box_max=box_max,
-                                   phase=phase, phase_params=phase_params)
+                                   phase=phase, phase_params=phase_params,
+                                   orientation=orientation)
         else:
             raise ValueError(f"unsupported medium plugin '{typ}'")
         if "id" in node.attrib:

@@ -107,3 +107,43 @@ def test_grid_medium_tracking_tpu():
     W = medlib.transmittance_track(med, u, o, d, jnp.full((n,), 1.0))
     est = np.asarray(jnp.mean(W, 0))
     assert np.allclose(est, np.exp(-1.0), rtol=5e-2), est
+
+
+def test_binned_intersector_tpu():
+    """The block-coherent binned kernel (ops/binned_intersect.py) runs
+    on-chip and agrees with brute force — covers the Mosaic K-packed
+    dot, bit-iteration pl.when control flow, and output-block revisit
+    accumulation, none of which the CPU interpret-mode test exercises."""
+    from mitsuba_tpu.ops import binned_intersect as bi
+    from mitsuba_tpu.ops import intersect as isect
+    from mitsuba_tpu.scene import ir as irlib
+
+    g = 48  # ~4.4k tris: small compile, > one cluster group
+    xx, zz = np.meshgrid(np.linspace(-1, 1, g), np.linspace(-1, 1, g))
+    rng = np.random.RandomState(0)
+    yy = rng.uniform(-0.15, 0.15, xx.shape)
+    v = np.stack([xx, yy, zz], -1).reshape(-1, 3).astype(np.float32)
+    f = []
+    for i in range(g - 1):
+        for j in range(g - 1):
+            a = i * g + j
+            f += [[a, a + 1, a + g], [a + 1, a + g + 1, a + g]]
+    scene = irlib.build_scene(v, np.asarray(f, np.int32),
+                              np.zeros(len(f), np.int32),
+                              [{"type": irlib.BSDF_DIFFUSE}])
+    cl = bi.build_clusters(scene)
+    n = 8192
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    o = jnp.asarray([[0.0, 2.0, 0.0]]) + jax.random.normal(k1, (n, 3)) * 0.5
+    tgt = jax.random.uniform(k2, (n, 3), minval=-1, maxval=1) * 0.9
+    d = tgt.at[:, 1].set(0.0) - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    its = bi.closest_hit(scene, cl, o, d)
+    ref = isect.intersect_brute(scene, o, d)
+    va, vb = np.asarray(ref.valid), np.asarray(its.valid)
+    assert (va == vb).mean() > 0.999
+    both = va & vb
+    assert np.allclose(np.asarray(ref.t)[both], np.asarray(its.t)[both],
+                       rtol=1e-4, atol=1e-5)
+    assert (np.asarray(ref.prim)[both]
+            == np.asarray(its.prim)[both]).mean() > 0.999

@@ -280,6 +280,25 @@ def _render_one(args):
             img_b = common.render_jit(scene_b, cam_b, li_fn, cfg_b)
             acc = np.asarray(img_b) if acc is None else acc + np.asarray(img_b)
         img = acc / args.time_bins
+    elif cfg.film_tiled and callable(li_fn):
+        # tiledhdrfilm: row bands streamed straight to the EXR
+        from .film import tiled as tiledlib
+
+        out_t = args.output or (scene_path.rsplit(".", 1)[0] + ".exr")
+        if not out_t.endswith(".exr"):
+            raise SystemExit("tiledhdrfilm requires an .exr output")
+        mean = tiledlib.render_tiled(
+            scene, cam, li_fn, cfg, out_t,
+            metadata={"spp": float(cfg.spp),
+                      "generatedBy": "mitsuba_tpu"},
+            progress=not args.quiet)
+        render_s = time.time() - t0
+        st.add("Render.wall_clock", render_s, unit="s")
+        loglib.Log(loglib.EInfo, "wrote %s in %.1fs (mean %.4f, tiled)",
+                   out_t, render_s, mean)
+        if not args.quiet:
+            st.print_stats()
+        return 0
     elif args.refresh > 0:
         # progressive passes + periodic/SIGHUP partial-image flush
         # (mitsuba.cpp:91-127: SIGHUP handler + `-r sec` flush thread)

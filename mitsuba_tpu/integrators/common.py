@@ -44,6 +44,8 @@ class RenderConfig:
     # integrator-specific knobs
     ao_length: float = -1.0     # <0 = unbounded occlusion rays
     hide_emitters: bool = False
+    # tiledhdrfilm: stream row bands to disk (film/tiled.py)
+    film_tiled: bool = False
 
     def resolve_chunk(self, width: int, height: int) -> int:
         if self.spp_chunk > 0:

@@ -904,6 +904,9 @@ class _Loader:
                 fp = _props(child, self.subst)
                 self.width = int(fp.get("width", 768))
                 self.height = int(fp.get("height", 576))
+                if child.attrib.get("type") == "tiledhdrfilm":
+                    # streamed row-band output (films/tiledhdrfilm.cpp)
+                    self.cfg_kw["film_tiled"] = True
                 for fc in child:
                     if fc.tag == "rfilter":
                         from ..film import film as filmlib

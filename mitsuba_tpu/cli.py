@@ -75,8 +75,12 @@ def resolve_integrator(name: str):
 
     from .integrators import bdpt, lvcbpt
 
+    from .integrators import spectral
+
     table = {
         "path": path.li,
+        "spectral": spectral.li,
+        "spectral_path": spectral.li,
         "volpath": volpath.li,
         "volpath_simple": volpath.li,
         "direct": direct.li,

@@ -11,7 +11,10 @@ import jax
 import jax.numpy as jnp
 
 EPS = 1e-4
-INF = jnp.float32(3.0e38)
+# plain Python float: a module-level jnp scalar would initialize the
+# device backend at import time, before the CLI's --cpu config.update
+# can run (and hangs outright if the TPU tunnel is unreachable)
+INF = 3.0e38
 
 
 def dot(a: jax.Array, b: jax.Array, keepdims: bool = False) -> jax.Array:

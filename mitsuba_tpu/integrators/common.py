@@ -46,6 +46,9 @@ class RenderConfig:
     hide_emitters: bool = False
     # tiledhdrfilm: stream row bands to disk (film/tiled.py)
     film_tiled: bool = False
+    # spectral mode: Cauchy B coefficient (um^2) for dispersive
+    # dielectrics in integrators/spectral.py (0 = no dispersion)
+    cauchy_b: float = 0.0
 
     def resolve_chunk(self, width: int, height: int) -> int:
         if self.spp_chunk > 0:

@@ -77,6 +77,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as m
 from ..models import bsdf as bsdflib
@@ -86,7 +87,7 @@ from ..ops import trace
 from ..ops.intersect import Intersection
 from .common import RenderConfig
 
-LUM = jnp.asarray([0.2126, 0.7152, 0.0722])
+LUM = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
 INV_PI = 1.0 / jnp.pi
 
 

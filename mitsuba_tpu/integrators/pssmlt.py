@@ -21,13 +21,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.rng import uniform
 from .common import RenderConfig
 
 SENSOR_DIMS = 4
 DIMS_PER_BOUNCE = 8
-LUM = jnp.asarray([0.2126, 0.7152, 0.0722])
+LUM = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
 
 
 class VectorStream:

@@ -43,7 +43,7 @@ CHUNK = 128
 # Miss sentinel = 2^127 (0x7F000000): its low mantissa bits are zero, so the
 # lane-id bit-packing in intersect_brute leaves it intact and `t < MISS`
 # stays an exact miss test.
-MISS = jnp.float32(2.0 ** 127)
+MISS = 2.0 ** 127    # plain float: no device allocation at import
 
 
 class Intersection(NamedTuple):

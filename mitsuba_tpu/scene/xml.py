@@ -151,6 +151,19 @@ def _props(node, subst):
             if tag == "srgb":
                 v = np.where(v <= 0.04045, v / 12.92, ((v + 0.055) / 1.055) ** 2.4)
             p[name] = v
+        elif tag == "blackbody":
+            # <blackbody temperature=".." [scale=".."]/> — Planck SPD
+            # projected to linear sRGB through the camera response
+            # (scenehandler.cpp:100 EBlackBody; core/spectrum.py planck)
+            from ..core import spectrum as speclib
+
+            temp = _f(child.attrib["temperature"], subst)
+            scale = _fattr(child, "scale", 1.0, subst)
+            lam = np.linspace(speclib.LAMBDA_MIN, speclib.LAMBDA_MAX, 256)
+            spd = np.asarray(speclib.planck(lam, temp))
+            resp = np.asarray(speclib.rgb_response(lam))
+            rgb = np.trapezoid(resp * spd[:, None], lam, axis=0)
+            p[name] = (rgb * scale).astype(np.float32)
         elif tag in ("point", "vector"):
             p[name] = np.asarray(
                 [_fattr(child, k, 0.0, subst) for k in "xyz"], np.float32
@@ -516,6 +529,10 @@ class _Loader:
                 rec.update(type=ir.BSDF_ROUGH_CONDUCTOR, alpha=alpha_of(),
                            extra=[0, 0, 0, dist])
         elif typ in ("dielectric", "roughdielectric", "thindielectric"):
+            if "cauchyB" in p:
+                # dispersive glass: picked up by the spectral integrator
+                # (RGB renders ignore it, like the reference's RGB build)
+                self.cfg_kw["cauchy_b"] = float(p["cauchyB"])
             rec.update(eta=[eta_d] * 3,
                        specular=p.get("specularReflectance", np.ones(3, np.float32)),
                        reflectance=p.get("specularTransmittance", np.ones(3, np.float32)))

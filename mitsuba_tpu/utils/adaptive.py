@@ -18,7 +18,7 @@ import numpy as np
 from ..core.rng import SampleStream
 from ..integrators.common import RenderConfig
 
-LUM = jnp.asarray([0.2126, 0.7152, 0.0722])
+LUM = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
 
 
 def _accumulate(scene, cam, li_fn, cfg, pixel_ids, sample_base, n_samples):

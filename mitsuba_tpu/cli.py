@@ -201,7 +201,12 @@ def _render_one(args):
         from .integrators import ptracer
 
         img = ptracer.render_jit(scene, cam, cfg)
-    elif li_fn in ("sppm", "ppm", "photonmapper"):
+    elif li_fn == "photonmapper":
+        from .integrators import photonmapper as pmlib
+
+        img = pmlib.render(scene, cam, cfg,
+                           n_passes=max(min(cfg.spp // 4, 16), 1))
+    elif li_fn in ("sppm", "ppm"):
         from .integrators import sppm as sppmlib
 
         img, _ = sppmlib.render(scene, cam, cfg, n_passes=max(cfg.spp // 4, 1))

@@ -153,9 +153,13 @@ def _camera_pass(scene, cam, cfg, pass_idx, specular_depth: int = 4):
     }
 
 
-def _photon_pass(scene, cfg, pass_idx, n_photons: int, max_depth: int):
+def _photon_pass(scene, cfg, pass_idx, n_photons: int, max_depth: int,
+                 with_tags: bool = False):
     """Shoot a wavefront of photons; returns flat arrays of deposited
-    photons (GatherPhotonProcess analog, gatherproc.h:35)."""
+    photons (GatherPhotonProcess analog, gatherproc.h:35). With
+    with_tags, also returns per-deposit (depth, prev_delta) so the
+    photonmapper can split caustic / indirect maps
+    (gatherproc.h ECausticPhotons vs ESurfacePhotons)."""
     seed = jnp.uint32(cfg.seed ^ 0x9E3779B9)
     pid = jnp.arange(n_photons, dtype=jnp.uint32)
     sidx = pass_idx.astype(jnp.uint32)
@@ -169,8 +173,10 @@ def _photon_pass(scene, cfg, pass_idx, n_photons: int, max_depth: int):
     o, d, beta = ers.o, ers.d, ers.beta
     active = jnp.ones((n_photons,), bool)
     families = scene.bsdf_families
+    prev_delta = jnp.zeros((n_photons,), bool)
 
     ph_pos, ph_dir, ph_pow, ph_valid = [], [], [], []
+    ph_depth, ph_prevdelta = [], []
     for t in range(max_depth):
         its = trace.closest_hit(scene, o, d)
         si = trace.surface_interaction(scene, o, d, its)
@@ -186,13 +192,21 @@ def _photon_pass(scene, cfg, pass_idx, n_photons: int, max_depth: int):
         ph_dir.append(-d)
         ph_pow.append(beta)
         ph_valid.append(active & non_delta)
+        if with_tags:
+            ph_depth.append(jnp.full((n_photons,), t, jnp.int32))
+            ph_prevdelta.append(prev_delta)
 
         wi_l = m.to_local(ns, si["wi_world"])
-        wo, wgt, pdf, _ = bsdflib.sample(
+        wo, wgt, pdf, smp_delta = bsdflib.sample(
             sp, wi_l, u(5 + 4 * t), jnp.stack([u(6 + 4 * t), u(7 + 4 * t)], -1),
             families,
         )
         d_new = m.to_world(ns, wo)
+        if with_tags:
+            # the next deposit's "arrived via a specular bounce" flag
+            # uses the actually-sampled lobe (composite BSDFs can pick a
+            # delta component)
+            prev_delta = jnp.where(active, smp_delta, prev_delta)
         beta_new = beta * wgt
         alive = active & (pdf > 0) & (jnp.max(beta_new, -1) > 0)
         q = jax.lax.stop_gradient(jnp.clip(jnp.max(wgt, -1), 0.05, 0.95))
@@ -203,10 +217,14 @@ def _photon_pass(scene, cfg, pass_idx, n_photons: int, max_depth: int):
         o = p + ng * jnp.where(m.dot(d_new, ng) > 0, RAY_EPS, -RAY_EPS)[:, None]
         d = d_new
 
-    return (
+    base = (
         jnp.concatenate(ph_pos), jnp.concatenate(ph_dir),
         jnp.concatenate(ph_pow), jnp.concatenate(ph_valid),
     )
+    if with_tags:
+        return base + (jnp.concatenate(ph_depth),
+                       jnp.concatenate(ph_prevdelta))
+    return base
 
 
 def render(scene, cam, cfg: RenderConfig, n_passes: int = 8,

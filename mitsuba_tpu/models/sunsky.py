@@ -184,3 +184,74 @@ def bake(kind, sun_dir=(0.0, 0.7071, 0.7071), turbidity=3.0, scale=1.0,
     if kind in ("sun", "sunsky"):
         bake_sun(img, sun_dir, turbidity, scale, sun_radius_scale)
     return img.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Solar position (sunmodel.h computeSunCoordinates): the PSA algorithm
+# of Blanco-Muriel et al. 2001, "Computing the solar vector" — published
+# astronomy, re-derived from the paper's formulas.
+# ---------------------------------------------------------------------------
+
+_EARTH_MEAN_RADIUS_KM = 6371.01
+_ASTRONOMICAL_UNIT_KM = 149597890.0
+
+
+def sun_coordinates(year=2010, month=7, day=10, hour=15.0, minute=0.0,
+                    second=0.0, latitude=35.6894, longitude=139.6917,
+                    timezone=9.0):
+    """-> (elevation-from-zenith theta, azimuth) in radians for the given
+    civil date/time and observer location (defaults = the reference's
+    Tokyo defaults, sunmodel.h:226-235)."""
+    import math
+
+    dec_hours = hour - timezone + (minute + second / 60.0) / 60.0
+    aux1 = (month - 14) // 12
+    aux2 = (1461 * (year + 4800 + aux1)) // 4 \
+        + (367 * (month - 2 - 12 * aux1)) // 12 \
+        - (3 * ((year + 4900 + aux1) // 100)) // 4 + day - 32075
+    julian = aux2 - 0.5 + dec_hours / 24.0
+    elapsed = julian - 2451545.0
+
+    omega = 2.1429 - 0.0010394594 * elapsed
+    mean_long = 4.8950630 + 0.017202791698 * elapsed
+    anomaly = 6.2400600 + 0.0172019699 * elapsed
+    ecl_long = (mean_long + 0.03341607 * math.sin(anomaly)
+                + 0.00034894 * math.sin(2 * anomaly) - 0.0001134
+                - 0.0000203 * math.sin(omega))
+    ecl_obl = 0.4090928 - 6.2140e-9 * elapsed + 0.0000396 * math.cos(omega)
+
+    sin_el = math.sin(ecl_long)
+    ra = math.atan2(math.cos(ecl_obl) * sin_el, math.cos(ecl_long))
+    if ra < 0:
+        ra += 2 * math.pi
+    decl = math.asin(math.sin(ecl_obl) * sin_el)
+
+    gmst = 6.6974243242 + 0.0657098283 * elapsed + dec_hours
+    lmst = math.radians(gmst * 15 + longitude)
+    lat = math.radians(latitude)
+    hour_angle = lmst - ra
+    elevation = math.acos(math.cos(lat) * math.cos(hour_angle)
+                          * math.cos(decl) + math.sin(decl) * math.sin(lat))
+    azimuth = math.atan2(-math.sin(hour_angle),
+                         math.tan(decl) * math.cos(lat)
+                         - math.sin(lat) * math.cos(hour_angle))
+    if azimuth < 0:
+        azimuth += 2 * math.pi
+    # parallax correction
+    elevation += (_EARTH_MEAN_RADIUS_KM / _ASTRONOMICAL_UNIT_KM) \
+        * math.sin(elevation)
+    return elevation, azimuth
+
+
+def sun_direction(**kw):
+    """Unit sun direction in the scene's Y-up frame (sunmodel.h
+    toSphere: x = sin(az) sin(theta), y = cos(theta),
+    z = -cos(az) sin(theta))."""
+    import math
+
+    theta, az = sun_coordinates(**kw)
+    st = math.sin(theta)
+    import numpy as np
+
+    return np.asarray([st * math.sin(az), math.cos(theta),
+                       -st * math.cos(az)], np.float32)

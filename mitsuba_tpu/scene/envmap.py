@@ -136,3 +136,39 @@ def pdf_direction(em: EnvMap, d: jax.Array) -> jax.Array:
     y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-8)
     return em.pdf_map[y, x] * (h * w) / (2.0 * jnp.pi * jnp.pi * sin_t)
+
+
+def rotate_latlong(image: np.ndarray, to_world: np.ndarray) -> np.ndarray:
+    """Bake an envmap <transform name="toWorld"> rotation into the
+    lat-long image (envmap.cpp applies m_worldTransform per lookup; a
+    one-time host-side resample keeps the runtime lookup unchanged).
+    new(d_world) = old(latlong(R^-1 d_world)), bilinear."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    r = np.asarray(to_world, np.float32)[:3, :3]
+    r_inv = np.linalg.inv(r)
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    theta = v * np.pi
+    phi = (2.0 * u - 1.0) * np.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack([
+        np.broadcast_to(np.sin(phi)[None, :], (h, w)) * st,
+        np.broadcast_to(np.cos(theta)[:, None], (h, w)),
+        np.broadcast_to(-np.cos(phi)[None, :], (h, w)) * st,
+    ], -1)                                              # (H, W, 3) world
+    dl = d @ r_inv.T                                    # envmap-local
+    ul = (1.0 + np.arctan2(dl[..., 0], -dl[..., 2]) / np.pi) / 2.0
+    vl = np.arccos(np.clip(dl[..., 1], -1, 1)) / np.pi
+    fx = ul * w - 0.5
+    fy = vl * h - 0.5
+    x0 = np.floor(fx).astype(np.int32)
+    y0 = np.clip(np.floor(fy).astype(np.int32), 0, h - 1)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0w = np.mod(x0, w)
+    x1w = np.mod(x0 + 1, w)
+    y1 = np.minimum(y0 + 1, h - 1)
+    out = (img[y0, x0w] * (1 - tx) * (1 - ty) + img[y0, x1w] * tx * (1 - ty)
+           + img[y1, x0w] * (1 - tx) * ty + img[y1, x1w] * tx * ty)
+    return out.astype(np.float32)

@@ -131,10 +131,56 @@ def _lerp_transform(m0: np.ndarray, m1: np.ndarray, t: float) -> np.ndarray:
     return out
 
 
+class _Props(dict):
+    """Properties dict that records which keys a plugin converter reads.
+    The schema-validation analog of the reference's scene.xsd +
+    Properties::markQueried / unqueried-parameter warnings
+    (properties.h:46, scenehandler.cpp validation): any property no
+    converter consumed is a typo, an unsupported parameter, or a
+    conflicting specification, and load_xml raises at the end listing
+    it with its plugin context."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.queried = set()
+        self.context = ""
+
+    def __getitem__(self, k):
+        self.queried.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self.queried.add(k)
+        return super().get(k, default)
+
+    def __contains__(self, k):
+        self.queried.add(k)
+        return super().__contains__(k)
+
+    def unqueried(self):
+        out = []
+        for k in self.keys():
+            if k in self.queried or k.startswith("_"):
+                continue
+            v = super().__getitem__(k)
+            # nested <texture>/<ref> children are consumed structurally
+            # (converters walk node.children), not through this dict
+            if isinstance(v, tuple) and len(v) == 2 \
+                    and v[0] in ("texture", "ref"):
+                continue
+            out.append(k)
+        return out
+
+
+_ALL_PROPS: list = []
+
+
 def _props(node, subst):
     """Collect child <integer/float/boolean/string/spectrum/rgb/point/vector
     /transform/texture/ref> tags into a dict (Properties analog)."""
-    p = {}
+    p = _Props()
+    p.context = f"<{node.tag} type=\"{node.attrib.get('type', '?')}\">"
+    _ALL_PROPS.append(p)
     for child in node:
         name = child.attrib.get("name", "")
         tag = child.tag
@@ -179,6 +225,38 @@ def _props(node, subst):
     return p
 
 
+
+
+# named IOR lookup (src/bsdfs/ior.h iorData — published measurements at
+# ~589 nm, Hecht, Optics 4th ed.)
+_IOR_NAMES = {
+    "vacuum": 1.0, "helium": 1.000036, "hydrogen": 1.000132,
+    "air": 1.000277, "carbon dioxide": 1.00045,
+    "water": 1.3330, "acetone": 1.36, "ethanol": 1.361,
+    "carbon tetrachloride": 1.461, "glycerol": 1.4729, "benzene": 1.501,
+    "silicone oil": 1.52045, "bromine": 1.661,
+    "water ice": 1.31, "fused quartz": 1.458, "pyrex": 1.470,
+    "acrylic glass": 1.49, "polypropylene": 1.49, "bk7": 1.5046,
+    "sodium chloride": 1.544, "amber": 1.55, "pet": 1.5750,
+    "diamond": 2.419,
+}
+
+
+def _ior(v):
+    """intIOR/extIOR accept a number or a material name (ior.h
+    lookupIOR)."""
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            pass
+        name = v.strip().lower()
+        if name not in _IOR_NAMES:
+            raise ValueError(f"unknown IOR material name '{v}'")
+        return _IOR_NAMES[name]
+    return float(v)
+
+
 # ---------------------------------------------------------------------------
 # BSDF conversion (plugin name -> material record)
 # ---------------------------------------------------------------------------
@@ -200,6 +278,8 @@ class _Loader:
     def __init__(self, base_dir: Path, subst: dict):
         self.base = base_dir
         self.subst = subst
+        self._flip_pending = False
+        self.test_phases: list = []
         self.materials: list[dict] = []
         # irawan cloth: slot entries (pattern, repeatU, repeatV) and
         # material-id -> slot map (models/cloth.py build_tables)
@@ -228,6 +308,18 @@ class _Loader:
         self.medium = None             # scene/global participating medium
         self.medium_tris: list = []    # triangle ids bounding an interior
         self.medium_ids: dict = {}     # id -> Medium (for <ref>)
+
+    def resolve(self, filename) -> str:
+        """FileResolver analog (fresolver.h): scene dir, then the path
+        as given (absolute / cwd-relative), then the bare basename in
+        the scene dir (reference fixtures use repo-root-relative paths
+        like 'data/tests/envmap.exr' next to the scene file)."""
+        cands = [self.base / str(filename), Path(str(filename)),
+                 self.base / Path(str(filename)).name]
+        for c in cands:
+            if c.exists():
+                return str(c)
+        return str(cands[0])   # let the open() error carry this path
 
     # --- media ---------------------------------------------------------
     def _convert_phase(self, child):
@@ -313,7 +405,7 @@ class _Loader:
                     if vt == "gridvolume":
                         from ..io import vol as vollib
                         orientation, _, _ = vollib.read_vol(
-                            str(self.base / vp["filename"]))
+                            self.resolve(vp["filename"]))
                         if orientation.ndim != 4 or \
                                 orientation.shape[-1] != 3:
                             raise ValueError(
@@ -334,7 +426,7 @@ class _Loader:
                     if vt == "gridvolume":
                         from ..io import vol as vollib
                         dens, box_min, box_max = vollib.read_vol(
-                            str(self.base / vp["filename"]))
+                            self.resolve(vp["filename"]))
                         if dens.ndim == 4:
                             dens = dens.mean(-1)
                     elif vt == "hgridvolume":
@@ -342,7 +434,7 @@ class _Loader:
                         from ..io import vol as vollib
                         dens, box_min, box_max = None, None, None
                         tbl, blocks, bmin, bmax = vollib.read_hgrid(
-                            str(self.base / vp["filename"]),
+                            self.resolve(vp["filename"]),
                             vp.get("prefix", ""),
                             vp.get("postfix", ".vol"))
                         alb = p.get("albedo", [0.8] * 3)
@@ -472,7 +564,7 @@ class _Loader:
             self.textures.append(rec)
             return len(self.textures) - 1
         if typ == "bitmap":
-            fn = self.base / p["filename"]
+            fn = Path(self.resolve(p["filename"]))
             data = imagelib.read_auto(str(fn))
             rec = {"data": data,
                    "transform": (p.get("uscale", 1.0), p.get("vscale", 1.0),
@@ -509,7 +601,7 @@ class _Loader:
             return [float(au), float(av)]
 
         dist = _DIST.get(str(p.get("distribution", "beckmann")), ir.MICROFACET_BECKMANN)
-        eta_d = float(p.get("intIOR", 1.5046)) / float(p.get("extIOR", 1.000277))
+        eta_d = _ior(p.get("intIOR", 1.5046)) / _ior(p.get("extIOR", 1.000277))
 
         if typ == "diffuse":
             rec.update(type=ir.BSDF_DIFFUSE, reflectance=refl())
@@ -544,6 +636,12 @@ class _Loader:
                 rec.update(type=ir.BSDF_ROUGH_DIELECTRIC, alpha=alpha_of(),
                            extra=[0, 0, 0, dist])
         elif typ in ("plastic", "roughplastic"):
+            # `nonlinear` (and its pre-0.5 alias `preserveColors`) select
+            # plastic.cpp's internal-scattering compensation mode; our
+            # plastic always applies the compensation (bsdf.py:283), so
+            # the flag is accepted for scene compatibility
+            p.get("nonlinear")
+            p.get("preserveColors")
             rec.update(type=ir.BSDF_PLASTIC if typ == "plastic" else ir.BSDF_ROUGH_PLASTIC,
                        reflectance=refl("diffuseReflectance"),
                        specular=p.get("specularReflectance", np.ones(3, np.float32)),
@@ -671,7 +769,7 @@ class _Loader:
             from ..models import cloth as clothlib
 
             if "filename" in p:
-                text = (self.base / str(p["filename"])).read_text()
+                text = Path(self.resolve(p["filename"])).read_text()
             else:
                 preset = str(p.get("preset", "cotton"))
                 if preset not in clothlib.PRESETS:
@@ -747,6 +845,11 @@ class _Loader:
         in that list instead of the scene (shapegroup.cpp semantics)."""
         typ = node.attrib["type"]
         p = _props(node, self.subst)
+        # interior/exterior medium refs are consumed by the caller's
+        # child-node walk (_process_children), not through this dict
+        p.get("interior")
+        p.get("exterior")
+        self._flip_pending = bool(p.get("flipNormals", False))
         to_world = p.get("toWorld", np.eye(4, dtype=np.float32))
         # animated object transform (track.h AnimatedTransform with two
         # keyframes): evaluate at the loader's shutter time
@@ -781,7 +884,7 @@ class _Loader:
             return
         if typ == "heightfield":
             from ..io import image as imagelib
-            data = imagelib.read_auto(str(self.base / p["filename"])) \
+            data = imagelib.read_auto(self.resolve(p["filename"])) \
                 if "filename" in p else None
             hscale = float(p.get("scale", 1.0))
             res = int(p.get("resolution", 64))
@@ -819,7 +922,7 @@ class _Loader:
         elif typ == "hair":
             # src/shapes/hair.cpp: fiber curves -> triangle tubes at load
             from ..io import hair as hairlib
-            strands = hairlib.read_hair(self.base / p["filename"])
+            strands = hairlib.read_hair(self.resolve(p["filename"]))
             radius = float(p.get("radius", 0.025))
             red = float(p.get("reduction", 0.0))
             if red > 0:
@@ -862,7 +965,7 @@ class _Loader:
         elif typ in ("obj", "ply", "serialized"):
             from ..io import mesh as meshlib
 
-            fn = self.base / p["filename"]
+            fn = Path(self.resolve(p["filename"]))
             if typ == "serialized":
                 from ..io import serialized as serlib
                 md = serlib.read_serialized(fn, int(p.get("shapeIndex", 0)))
@@ -1022,10 +1125,23 @@ def load_xml(path, defaults: dict | None = None, time: float = 0.0):
     if defaults:
         subst.update(defaults)
 
+    _ALL_PROPS.clear()
     ld = _Loader(path.parent, subst)
     ld.time = float(time)
     _process_children(root, ld, subst, path.parent)
-    return _finish(ld)
+    out = _finish(ld)
+    # schema validation (scene.xsd analog): every declared property must
+    # have been consumed by some converter
+    bad = []
+    for pr in _ALL_PROPS:
+        for k in pr.unqueried():
+            bad.append(f"{pr.context}: unknown or unused property '{k}'")
+    _ALL_PROPS.clear()
+    if bad:
+        raise ValueError(
+            "scene validation failed (unsupported/typo'd parameters):\n  "
+            + "\n  ".join(bad))
+    return out
 
 
 def _process_children(root, ld, subst, base_dir):
@@ -1059,6 +1175,13 @@ def _process_children(root, ld, subst, base_dir):
         elif tag == "shape":
             t0 = len(ld.tris)
             ld.convert_shape(child)
+            if getattr(ld, "_flip_pending", False):
+                # flipNormals (shape.h m_flipNormals): reverse winding
+                # so geometric normals (and one-sided emission) invert
+                for ti in range(t0, len(ld.tris)):
+                    a, b, c = ld.tris[ti]
+                    ld.tris[ti] = [a, c, b]
+                ld._flip_pending = False
             interior = None
             for sub in child:
                 if sub.tag == "medium":
@@ -1077,7 +1200,12 @@ def _process_children(root, ld, subst, base_dir):
                 ld.env_radiance = np.asarray(p.get("radiance", [1, 1, 1]), np.float32)
             elif typ == "envmap":
                 from ..io import image as imagelib
-                data = imagelib.read_auto(str(base_dir / p["filename"]))
+                data = imagelib.read_auto(ld.resolve(p["filename"]))
+                if "toWorld" in p:
+                    # bake the rotation into the lat-long map
+                    # (envmap.cpp m_worldTransform)
+                    from . import envmap as envlib
+                    data = envlib.rotate_latlong(data, p["toWorld"])
                 ld.env_radiance = None
                 ld.cfg_kw.setdefault("_envmap", data * float(p.get("scale", 1.0)))
             elif typ in ("point", "spot", "directional", "collimated"):
@@ -1101,7 +1229,30 @@ def _process_children(root, ld, subst, base_dir):
                 # time, exactly the reference's strategy (sky.cpp bakes at
                 # `resolution` in configure()); models/sunsky.py
                 from ..models import sunsky as sunskylib
-                sd = p.get("sunDirection", np.asarray([0.0, 0.7071, 0.7071]))
+                if "sunDirection" in p:
+                    if any(k in p for k in ("latitude", "longitude",
+                                            "timezone", "year", "month",
+                                            "day", "hour", "minute",
+                                            "second")):
+                        raise ValueError(
+                            "sunsky: give either sunDirection or "
+                            "time/location, not both (sunmodel.h:216)")
+                    sd = p["sunDirection"]
+                elif any(k in p for k in ("latitude", "longitude", "hour",
+                                          "day", "month", "year")):
+                    # PSA solar-position algorithm (sunmodel.h:120)
+                    sd = sunskylib.sun_direction(
+                        year=int(p.get("year", 2010)),
+                        month=int(p.get("month", 7)),
+                        day=int(p.get("day", 10)),
+                        hour=float(p.get("hour", 15.0)),
+                        minute=float(p.get("minute", 0.0)),
+                        second=float(p.get("second", 0.0)),
+                        latitude=float(p.get("latitude", 35.6894)),
+                        longitude=float(p.get("longitude", 139.6917)),
+                        timezone=float(p.get("timezone", 9.0)))
+                else:
+                    sd = np.asarray([0.0, 0.7071, 0.7071])
                 data = sunskylib.bake(
                     typ,
                     sun_dir=np.asarray(sd, np.float64),
@@ -1119,13 +1270,26 @@ def _process_children(root, ld, subst, base_dir):
             # pure alias is a no-op
             pass
         else:
-            raise ValueError(f"unsupported scene element <{tag}>")
+            # chi-square test fixtures declare top-level <phase> entries
+            # (data/tests/test_phase.xml, consumed by test_chisquare)
+            if tag == "phase":
+                ld.test_phases.append(ld._convert_phase(child))
+            else:
+                raise ValueError(f"unsupported scene element <{tag}>")
 
 
 def _finish(ld):
     envmap = ld.cfg_kw.pop("_envmap", None)
     if not ld.tris:
-        raise ValueError("scene has no shapes")
+        # shapeless scenes are legal (e.g. a radiancemeter watching a
+        # collimated emitter, data/tests/test_bidir_1.xml); the IR needs
+        # one triangle, so park a degenerate black one far away
+        ld.materials.append({"type": ir.BSDF_DIFFUSE,
+                             "reflectance": [0.0, 0.0, 0.0]})
+        ld.add_mesh(np.asarray([[1e8, 1e8, 1e8], [1e8 + 1e-3, 1e8, 1e8],
+                                [1e8, 1e8 + 1e-3, 1e8]], np.float32),
+                    np.asarray([[0, 1, 2]], np.int32),
+                    len(ld.materials) - 1)
     normals = np.asarray(ld.normals, np.float32)
     if ld.curvature_req is not None:
         ld.vert_colors = _bake_curvature(

@@ -84,3 +84,57 @@ def test_xml_sunsky_scene_renders(tmp_path):
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img.mean() > 0.1  # daylight-lit plane is clearly bright
+
+
+def test_solar_position_psa():
+    """PSA solar-position algorithm (sunmodel.h:120): plausible Tokyo
+    summer afternoon, below horizon at midnight, noon above 8am."""
+    from mitsuba_tpu.models import sunsky
+
+    d = sunsky.sun_direction()                  # Tokyo defaults, 3pm July
+    assert abs(np.linalg.norm(d) - 1) < 1e-5
+    assert d[1] > 0.3                           # well above horizon
+    assert d[0] < 0                             # afternoon: sun in the west
+    assert sunsky.sun_direction(hour=0.0)[1] < 0
+    assert sunsky.sun_direction(hour=12.0)[1] > sunsky.sun_direction(hour=8.0)[1]
+    # southern hemisphere midday sun sits toward the north
+    d_sydney = sunsky.sun_direction(latitude=-33.87, longitude=151.21,
+                                    timezone=10.0, month=1, hour=12.0)
+    assert d_sydney[1] > 0.5
+
+
+def test_sunsky_xml_location(tmp_path):
+    xml = """
+<scene version="0.6.0">
+    <integrator type="path"/>
+    <sensor type="perspective">
+        <sampler type="independent"><integer name="sampleCount" value="4"/></sampler>
+        <film type="hdrfilm">
+            <integer name="width" value="4"/><integer name="height" value="4"/>
+        </film>
+    </sensor>
+    <emitter type="sky">
+        <float name="latitude" value="48.2"/>
+        <float name="longitude" value="16.37"/>
+        <float name="timezone" value="2"/>
+        <integer name="month" value="6"/>
+        <float name="hour" value="12.0"/>
+        <integer name="resolution" value="32"/>
+    </emitter>
+    <shape type="rectangle"><bsdf type="diffuse"/></shape>
+</scene>
+"""
+    p = tmp_path / "sky.xml"
+    p.write_text(xml)
+    from mitsuba_tpu.scene import xml as xmllib
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    assert scene.envmap is not None
+
+    import pytest
+    bad = xml.replace('<float name="latitude" value="48.2"/>',
+                      '<float name="latitude" value="48.2"/>'
+                      '<vector name="sunDirection" x="0" y="1" z="0"/>')
+    p2 = tmp_path / "bad.xml"
+    p2.write_text(bad)
+    with pytest.raises(ValueError, match="not both"):
+        xmllib.load_xml(p2)

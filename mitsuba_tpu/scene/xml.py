@@ -1191,6 +1191,13 @@ def _process_children(root, ld, subst, base_dir):
                     interior = ld.convert_medium(sub)
                 elif sub.tag == "ref" and sub.attrib.get("name") == "interior":
                     interior = ld.medium_ids[sub.attrib["id"]]
+                elif sub.tag == "ref" and sub.attrib.get("name") == "exterior":
+                    # the medium surrounding the shape (medium.h:103
+                    # exterior pointer): in the flattened IR the
+                    # surrounding medium IS the scene's global medium, so
+                    # the first exterior ref promotes its target
+                    if ld.medium is None:
+                        ld.medium = ld.medium_ids[sub.attrib["id"]]
             if interior is not None:
                 ld.attach_interior(child, interior, t0)
         elif tag == "emitter":

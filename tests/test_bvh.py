@@ -186,3 +186,39 @@ def test_binned_exactness_flag():
     _, _, exact = _interp(bi.closest_key)(
         cl, o, dd, jnp.full((n,), 3e37))
     assert float(np.asarray(exact).mean()) == 1.0
+
+
+def test_binned_sorted_path_matches_brute():
+    """n >= 4*BLOCK engages the coherence sort + inverse permutation;
+    results must still come back in caller order."""
+    from mitsuba_tpu.ops import binned_intersect as bi
+    from mitsuba_tpu.ops import intersect as isect
+    from mitsuba_tpu.scene import ir as irlib
+
+    v, f = _bunny_or_synthetic()
+    scene = irlib.build_scene(v, f, np.zeros(len(f), np.int32),
+                              [{"type": irlib.BSDF_DIFFUSE}])
+    cl = bi.build_clusters(scene)
+    lo, hi = v.min(0), v.max(0)
+    center = jnp.asarray((lo + hi) / 2)
+    radius = float(np.linalg.norm(hi - lo) / 2)
+    n = 4 * bi.BLOCK
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    a = jax.random.normal(k1, (n, 3))
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b2 = jax.random.normal(k2, (n, 3))
+    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    o = center + a * radius
+    d = center + b2 * radius * 0.5 - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    its = _interp(bi.closest_hit)(scene, cl, o, d)
+    # spot-check a deterministic subset against brute force
+    idx = jnp.arange(0, n, 17)
+    ref = isect.intersect_brute(scene, o[idx], d[idx])
+    va = np.asarray(ref.valid)
+    vb = np.asarray(its.valid)[np.asarray(idx)]
+    assert (va == vb).mean() > 0.995
+    both = va & vb
+    assert np.allclose(np.asarray(ref.t)[both],
+                       np.asarray(its.t)[np.asarray(idx)][both],
+                       rtol=1e-4, atol=1e-5)

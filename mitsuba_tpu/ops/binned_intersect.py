@@ -3,36 +3,48 @@
 THE TPU-native acceleration structure (replacing the reference's SAH
 kd-tree, gkdtree.h:958, for large meshes): pointer-chasing tree walks are
 gather-bound and lockstep-divergent on this hardware, while dense MXU
-work runs at Tflop/s. The design is shaped by two measured facts:
+work runs at Tflop/s. v4 is shaped by three measured facts:
 
-  * a (B,16)@(16,·) Moller-Trumbore GEMM idles 7/8 of the MXU's 128-deep
-    systolic rows (~4 Tflop/s); stacking 8 clusters vertically in the
-    contraction dim and placing each ray's 16 features in the K-chunk of
-    the cluster it tests runs the same work at full depth (60+ Tflop/s);
   * per-element (scalar) gathers/scatters run at ~100M elem/s on this
-    chip — an earlier version that materialised explicit (ray, cluster)
-    pairs spent 400+ ms/chunk in pair bookkeeping, 20x the kernel time.
+    chip — materialising explicit (ray, cluster) pairs spends 20x the
+    kernel time in bookkeeping, so the work list stays dense;
+  * a K-packed bit-iteration kernel (v3: each lane's 16 phi features in
+    the K-chunk of the one cluster it tests, 8 clusters stacked to
+    K=128) runs the MXU at full depth, but on incoherent rays ~85% of
+    the 128 lanes in a tile never touch the tile's group at all, and
+    lanes with several set bits serialise extra full-cost passes: the
+    measured win evaporated (0.34M rays/s at 70k tris);
+  * one dense (128,16)@(16,4096) pass testing ALL 8 clusters of a group
+    for ALL 128 lanes costs exactly the same FLOPs as ONE packed pass —
+    so enumerating work at (128-ray sub-row x group) granularity and
+    spending one un-packed pass per active pair beats packing whenever
+    occupancy is the bottleneck (it always is for bounce rays).
 
-So v3 never materialises pairs:
+Pipeline:
 
   1. build time: triangles are Morton-sorted into CSIZE-triangle
-     clusters; 8 consecutive clusters form a GROUP whose GEMM
-     coefficients are K-stacked into one (128, 4*CSIZE) block;
-  2. cull: every ray x every cluster slab test, emitted as a per-ray
-     8-bit mask per group — a dense (G, N) int32 "hitbits" map, with no
-     (N, C) intermediate;
-  3. tiles are (1024-ray block) x (group), enumerated from the tiny
-     (NB, G) block-any mask with jnp.nonzero (block-major order);
-  4. the Pallas kernel reads CONTIGUOUS phi and hitbits slices (no
-     gathers), iterates each lane's set bits (lowest-bit-clear passes,
-     skipped when a sub-row has none left), runs one K-packed MXU pass
-     per iteration, and min-accumulates packed [t|slot] keys directly
-     into the block's per-RAY output, which consecutive tiles of the
-     same block revisit;
-  5. decode reads the per-ray keys straight off — no segment reduction.
+     clusters; each cluster's Moller-Trumbore GEMM coefficients occupy a
+     (16, 4*CSIZE) column block [det|t|u|v], 8 consecutive clusters form
+     a GROUP of (16, 4096);
+  2. cull: every ray x every cluster slab test, reduced on the fly to a
+     (sub-row, group) any-hit mask — the (N, C) map never exists in HBM;
+  3. tiles are (128-ray sub-row x group) pairs from jnp.nonzero over
+     that mask, sub-row-major so consecutive tiles of the same ray
+     block revisit its output accumulator; the tile list is ONE packed
+     int32 scalar-prefetch array (sub_row << 16 | group), bounded per
+     dispatch by TILE_BUDGET (rays are chunked above that — SMEM holds
+     ~256K scalars and the v3 four-array layout OOMed at 2^20 rays);
+  4. the Pallas kernel runs one dense K=16 MXU pass per tile and
+     min-accumulates packed [t|slot] keys into the block's per-ray
+     accumulator (no per-lane cull bits on the hot path: testing a
+     cluster whose box a ray missed cannot produce a hit, so the mask
+     only gates enumeration);
+  5. decode reads the per-ray keys straight off — no segment reduction —
+     and re-derives exact t/barycentrics against the single winning
+     triangle.
 
 Rays are optionally pre-sorted by (direction octant, origin Morton) so
-blocks hit few groups; camera rays are already coherent. Results are
+sub-rows hit few groups; camera rays are already coherent. Results are
 always exact — every hit cluster is tested."""
 from __future__ import annotations
 
@@ -44,8 +56,8 @@ from flax import struct
 from . import intersect as I
 
 CSIZE = 128          # triangles per cluster
-GROUP = 8            # clusters per group (stacked in the GEMM K dim)
-BLOCK = 1024         # rays per tile (8 sub-rows of 128)
+GROUP = 8            # clusters per group (one GEMM block)
+BLOCK = 1024         # rays per output accumulator block (8 sub-rows)
 SUBROWS = 8
 LANE_BITS = GROUP * CSIZE - 1   # low-bit field of the packed key (10 bits)
 
@@ -53,15 +65,32 @@ MISS_F = 2.0 ** 127
 MISS_BITS = 0x7F000000
 MISS_KEY = MISS_BITS | LANE_BITS
 
+# max (sub-row x group) tiles per pallas dispatch: one packed int32
+# scalar-prefetch array of this length must fit SMEM (1 MiB) with room
+# to spare. Ray batches whose nsub * G exceeds this are chunked.
+TILE_BUDGET = 131072
+# packed tile word: (tsub << 16) | tg  — tsub < 2^15, tg <= 0xFFFF
+MAX_NSUB = 1 << 15
+MAX_GROUPS = 0xFFFF
+
+# MXU precision: the GEMM runs as a manual bf16x3 split (hi@hi + hi@lo
+# + lo@hi, f32 accumulate) — three single-pass bf16 matmuls instead of
+# HIGHEST's six-pass f32 emulation (Mosaic has no Precision.HIGH). The
+# ~1e-5 relative error is far below the packed key's own t quantisation
+# (the low 10 mantissa bits hold the slot id: 2^-13 relative), and the
+# winner's t/barycentrics are recomputed in exact f32 afterwards.
+# Set False to fall back to Precision.HIGHEST (debugging).
+SPLIT_BF16 = True
+
 
 @struct.dataclass
 class Clusters:
-    """Morton-clustered GEMM tables + bounds. w holds one K-stacked
-    [det|t|u|v] block of (128, 4*CSIZE) per GROUP of 8 clusters (chunk j
-    rows 16j:16j+16 = cluster 8g+j), plus a trailing all-zero dummy
+    """Morton-clustered GEMM tables + bounds. w holds one (16, 4*CSIZE)
+    [det|t|u|v] column block per cluster (8 consecutive clusters = one
+    group's (16, 4096) GEMM block), plus a trailing all-zero dummy
     group (id G) for skipped tiles."""
 
-    w: jax.Array           # (128, (G+1) * 4*CSIZE)
+    w: jax.Array           # (16, (G+1) * GROUP * 4*CSIZE)
     cmin: jax.Array        # (C, 3)  C = G*8 (padded with empty boxes)
     cmax: jax.Array        # (C, 3)
     tri_id: jax.Array      # (C*CSIZE,) original triangle id (-1 = pad)
@@ -70,8 +99,8 @@ class Clusters:
 
 
 def build_clusters(scene) -> Clusters:
-    """Host-side: Morton-sort triangles, cut into CSIZE clusters, stack
-    8-cluster groups into K=128 GEMM blocks."""
+    """Host-side: Morton-sort triangles, cut into CSIZE clusters, lay
+    each cluster's GEMM coefficients into its (16, 4*CSIZE) block."""
     from ..scene import bvh as bvhlib
 
     verts = np.asarray(scene.vertices, np.float32)
@@ -89,6 +118,9 @@ def build_clusters(scene) -> Clusters:
 
     t = len(tris)
     g = -(-t // (CSIZE * GROUP))
+    if g > MAX_GROUPS:
+        raise ValueError(f"mesh too large for the binned intersector: "
+                         f"{t} tris -> {g} groups > {MAX_GROUPS}")
     c = g * GROUP
     pad = c * CSIZE - t
     tri_id = np.concatenate([order, np.full(pad, -1, np.int32)])
@@ -104,126 +136,172 @@ def build_clusters(scene) -> Clusters:
     e2 = np.concatenate([(p2 - p0)[order], np.zeros((pad, 3), np.float32)])
     w_det, w_t, w_u, w_v = (np.asarray(a) for a in I._gemm_coeffs(
         jnp.asarray(po), jnp.asarray(e1), jnp.asarray(e2)))
-    blocks = []
-    for gi in range(g):
-        blk = np.zeros((16 * GROUP, 4 * CSIZE), np.float32)
-        for j in range(GROUP):
-            sl = slice((gi * GROUP + j) * CSIZE, (gi * GROUP + j + 1) * CSIZE)
-            blk[16 * j:16 * j + 16, 0 * CSIZE:1 * CSIZE] = w_det[:, sl]
-            blk[16 * j:16 * j + 16, 1 * CSIZE:2 * CSIZE] = w_t[:, sl]
-            blk[16 * j:16 * j + 16, 2 * CSIZE:3 * CSIZE] = w_u[:, sl]
-            blk[16 * j:16 * j + 16, 3 * CSIZE:4 * CSIZE] = w_v[:, sl]
-        blocks.append(blk)
-    blocks.append(np.zeros((16 * GROUP, 4 * CSIZE), np.float32))  # dummy
-    w = np.concatenate(blocks, axis=1)
+    # (16, c*CSIZE) each -> (16, c, 4, CSIZE) -> (16, c*4*CSIZE)
+    w = np.stack([a.reshape(16, c, CSIZE) for a in (w_det, w_t, w_u, w_v)],
+                 axis=2).reshape(16, c * 4 * CSIZE)
+    w = np.concatenate(
+        [w, np.zeros((16, GROUP * 4 * CSIZE), np.float32)], axis=1)
     return Clusters(
         w=jnp.asarray(w), cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
         tri_id=jnp.asarray(tri_id), n_clusters=int(c), n_groups=int(g))
 
 
-def _hitbits(cl: Clusters, o, d, tmax):
-    """Dense ray x cluster slab test, packed to one int32 of GROUP bits
-    per (group, ray): bit j of hitbits[g, n] = ray n enters cluster
-    8g+j's box. Output is group-transposed so the kernel's tile slices
-    are contiguous; the (N, C) boolean map never exists in HBM."""
+def _subrow_mask(cl: Clusters, o, d, tmax):
+    """Dense ray x cluster slab test, reduced to a (nsub, G) bool mask:
+    does ANY ray of 128-ray sub-row s enter ANY cluster box of group g?
+    The (C, N) boolean map is fused away by XLA."""
     G = cl.n_groups
+    n = o.shape[0]
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                           jnp.where(d >= 0, 1e-12, -1e-12), d)
-    # (C, N, 3) broadcast against (N, 3) rays, reduced to (C, N) bits
     t0 = (cl.cmin[:, None] - o[None]) * inv[None]
     t1 = (cl.cmax[:, None] - o[None]) * inv[None]
     tn = jnp.minimum(t0, t1).max(-1)
     tf = jnp.maximum(t0, t1).min(-1)
     hit = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[None, :])
-    bits = hit.reshape(G, GROUP, -1).astype(jnp.int32) \
-        << jnp.arange(GROUP, dtype=jnp.int32)[None, :, None]
-    return bits.sum(1)                                  # (G, N) int32
+    # (C, N) -> (G, GROUP, nsub, 128) -> any over (GROUP, lanes) -> (nsub, G)
+    return hit.reshape(G, GROUP, n // 128, 128).any((1, 3)).T
 
 
-def _kernel(tb_ref, tg_ref, tfirst_ref, tactive_ref,
-            bits_ref, phi_ref, w_ref, key_ref, grp_ref):
-    """One (ray-block x group) tile. Per sub-row of 128 rays: iterate
-    set bits of each lane's hit mask (lowest-bit-clear), one K-packed
-    (128,128)@(128,4*CSIZE) MXU pass per iteration, min-merge packed
-    keys into the block's per-ray accumulator (revisited across the
-    block's consecutive tiles)."""
+def _make_kernel(n_groups: int):
     from jax.experimental import pallas as pl
 
-    i = pl.program_id(0)
-    active = tactive_ref[i] > 0
+    def _kernel(s_ref, phi_ref, w_ref, key_ref, grp_ref):
+        """One (128-ray sub-row x group) tile: a single dense K=16 MXU
+        pass testing all 8 clusters of the group for all 128 rays,
+        min-merged into the ray block's packed-key accumulator."""
+        i = pl.program_id(0)
+        cur = s_ref[i]
+        tg = cur & 0xFFFF
+        tsub = cur >> 16
+        tb = cur >> 19          # = tsub // SUBROWS
+        prev_tb = jnp.where(i == 0, -1,
+                            s_ref[jnp.maximum(i - 1, 0)] >> 19)
 
-    @pl.when((tfirst_ref[i] > 0) & active)
-    def _():
-        key_ref[...] = jnp.full((SUBROWS, 128), MISS_KEY, jnp.int32)
-        grp_ref[...] = jnp.zeros((SUBROWS, 128), jnp.int32)
+        @pl.when(tb != prev_tb)
+        def _():
+            key_ref[...] = jnp.full((SUBROWS, 128), MISS_KEY, jnp.int32)
+            grp_ref[...] = jnp.zeros((SUBROWS, 128), jnp.int32)
 
-    @pl.when(active)
-    def _():
-        w = w_ref[:]
-        g = tg_ref[i]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (128, CSIZE), 1)
-        for srow in range(SUBROWS):
-            bits = bits_ref[0, 0, srow, :]                      # (128,)
-            phi_s = phi_ref[:, srow * 128:(srow + 1) * 128]     # (16, 128)
-            x = bits
-            for _p in range(GROUP):
-                alive = jnp.any(x != 0)
+        @pl.when(tg < n_groups)
+        def _():
+            srow = tsub - tb * SUBROWS
+            phi = phi_ref[...]                                 # (16, 128)
+            w = w_ref[...]                                     # (16, 4096)
+            if SPLIT_BF16:
+                phi_hi = phi.astype(jnp.bfloat16)
+                phi_lo = (phi - phi_hi.astype(jnp.float32)) \
+                    .astype(jnp.bfloat16)
+                w_hi = w.astype(jnp.bfloat16)
+                w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-                @pl.when(alive)
-                def _(x=x, phi_s=phi_s, srow=srow):
-                    low = x & -x
-                    # lanes with x == 0 clamp to chunk GROUP-1; testing a
-                    # cluster whose box the ray missed cannot produce a
-                    # hit (cull is conservative), so no mask is needed
-                    chunk = jnp.minimum(
-                        jax.lax.population_count(low - 1),
-                        GROUP - 1)                              # (128,)
-                    phi128 = jnp.concatenate(
-                        [jnp.where(chunk[None, :] == j, phi_s, 0.0)
-                         for j in range(GROUP)], axis=0)        # (128,128)
-                    out = jax.lax.dot_general(
-                        phi128, w, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)    # (128, 4C)
-                    det = out[:, 0 * CSIZE:1 * CSIZE]
-                    t_num = out[:, 1 * CSIZE:2 * CSIZE]
-                    u_num = out[:, 2 * CSIZE:3 * CSIZE]
-                    v_num = out[:, 3 * CSIZE:4 * CSIZE]
-                    bad = jnp.abs(det) < 1e-12
-                    inv_det = jnp.where(bad, 0.0,
-                                        1.0 / jnp.where(bad, 1.0, det))
-                    u = u_num * inv_det
-                    v = v_num * inv_det
-                    t = t_num * inv_det
-                    hit = ((u >= -I.BARY_EPS) & (v >= -I.BARY_EPS)
-                           & (u + v <= 1.0 + I.BARY_EPS)
-                           & (t > I.SHADOW_EPS) & ~bad)
-                    t = jnp.where(hit, t, MISS_F)
-                    slot = chunk[:, None] * CSIZE + lanes
-                    key = (jax.lax.bitcast_convert_type(t, jnp.int32)
-                           & jnp.int32(~jnp.int32(LANE_BITS))) | slot
-                    newkey = jnp.min(key, axis=1)               # (128,)
-                    cur = key_ref[srow, :]
-                    better = newkey < cur
-                    key_ref[srow, :] = jnp.where(better, newkey, cur)
-                    grp_ref[srow, :] = jnp.where(better, g,
-                                                 grp_ref[srow, :])
+                def dot(a, b):
+                    return jax.lax.dot_general(
+                        a, b, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                out = dot(phi_hi, w_hi) + dot(phi_hi, w_lo) \
+                    + dot(phi_lo, w_hi)                        # (128, 4096)
+            else:
+                out = jax.lax.dot_general(
+                    phi, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # (128, 4096)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (128, CSIZE), 1)
+            best = jnp.full((128,), MISS_KEY, jnp.int32)
+            for j in range(GROUP):
+                b = j * 4 * CSIZE
+                det = out[:, b + 0 * CSIZE:b + 1 * CSIZE]
+                t_num = out[:, b + 1 * CSIZE:b + 2 * CSIZE]
+                u_num = out[:, b + 2 * CSIZE:b + 3 * CSIZE]
+                v_num = out[:, b + 3 * CSIZE:b + 4 * CSIZE]
+                bad = jnp.abs(det) < 1e-12
+                inv_det = jnp.where(bad, 0.0,
+                                    1.0 / jnp.where(bad, 1.0, det))
+                u = u_num * inv_det
+                v = v_num * inv_det
+                t = t_num * inv_det
+                hit = ((u >= -I.BARY_EPS) & (v >= -I.BARY_EPS)
+                       & (u + v <= 1.0 + I.BARY_EPS)
+                       & (t > I.SHADOW_EPS) & ~bad)
+                t = jnp.where(hit, t, MISS_F)
+                slot = j * CSIZE + lanes
+                key = (jax.lax.bitcast_convert_type(t, jnp.int32)
+                       & jnp.int32(~jnp.int32(LANE_BITS))) | slot
+                best = jnp.minimum(best, jnp.min(key, axis=1))
+            # masked full-block merge (vectorized; no dynamic sublane io)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (SUBROWS, 128), 0)
+            bb = jnp.broadcast_to(best[None, :], (SUBROWS, 128))
+            cur_k = key_ref[...]
+            better = (rows == srow) & (bb < cur_k)
+            key_ref[...] = jnp.where(better, bb, cur_k)
+            grp_ref[...] = jnp.where(better, tg, grp_ref[...])
 
-                x = x & (x - 1)
+    return _kernel
+
+
+def _closest_key_chunk(cl: Clusters, o, d, tmax):
+    """One pallas dispatch over a BLOCK-multiple ray batch whose
+    nsub * G fits TILE_BUDGET. Returns (key, grp) in batch order."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = o.shape[0]
+    G = cl.n_groups
+    nb = n // BLOCK
+    nsub = n // 128
+
+    submask = jax.lax.optimization_barrier(
+        _subrow_mask(cl, o, d, tmax))                          # (nsub, G)
+    phi_t = I._phi(o, d).T                                     # (16, N)
+
+    maxt = nsub * G
+    (tidx,) = jnp.nonzero(submask.reshape(-1), size=maxt, fill_value=maxt)
+    live = tidx < maxt
+    tsub = jnp.where(live, tidx // G, nsub).astype(jnp.int32)
+    tg = jnp.where(live, tidx % G, G).astype(jnp.int32)
+    packed = (tsub << 16) | tg
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(maxt,),
+        in_specs=[
+            pl.BlockSpec((16, 128), lambda i, s: (0, s[i] >> 16)),
+            pl.BlockSpec((16, GROUP * 4 * CSIZE),
+                         lambda i, s: (0, s[i] & 0xFFFF)),
+        ],
+        out_specs=[
+            pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0)),
+            pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0)),
+        ],
+    )
+    # phi gets a dummy sub-row column block (index nsub) for padded tiles
+    phi_x = jnp.concatenate([phi_t, jnp.zeros((16, 128))], 1)
+    keys, grps = pl.pallas_call(
+        _make_kernel(G),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
+        ],
+    )(packed, phi_x, cl.w)
+
+    key = keys[:nsub].reshape(-1)
+    grp = grps[:nsub].reshape(-1)
+    # ray blocks that never got a tile are never written by the kernel
+    block_dead = ~submask.reshape(nb, SUBROWS, G).any((1, 2))  # (nb,)
+    key = jnp.where(jnp.repeat(block_dead, BLOCK), MISS_KEY, key)
+    return key, grp
 
 
 def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
     """Returns (key (N,) int32 packed [t|slot], group (N,) int32 winning
     group id, exact (N,) bool — always True). Decode prim via
     cl.tri_id[group*GROUP*CSIZE + (key & LANE_BITS)]."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     n0 = o.shape[0]
     G = cl.n_groups
     if sort and n0 >= 4 * BLOCK:
         # coherence sort: direction octant then origin Morton cell, so
-        # each 1024-ray block touches few groups (camera rays already
+        # each 128-ray sub-row touches few groups (camera rays already
         # are coherent; bounce/bench rays benefit)
         oct_ = ((d[:, 0] < 0).astype(jnp.uint32)
                 | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
@@ -242,8 +320,10 @@ def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
     else:
         inv = None
 
-    nb = -(-n0 // BLOCK)
-    n = nb * BLOCK
+    # chunk so each dispatch's tile list fits the scalar-prefetch SMEM
+    chunk = min(TILE_BUDGET // G, MAX_NSUB - SUBROWS) // SUBROWS * BLOCK
+    chunk = max(chunk, BLOCK)
+    n = -(-n0 // BLOCK) * BLOCK
     if n != n0:
         o = jnp.concatenate([o, jnp.ones((n - n0, 3), o.dtype)])
         d = jnp.concatenate(
@@ -251,65 +331,30 @@ def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
                                  (n - n0, 3))])
         tmax = jnp.concatenate([tmax, jnp.zeros((n - n0,), tmax.dtype)])
 
-    bits = jax.lax.optimization_barrier(_hitbits(cl, o, d, tmax))  # (G, N)
-    phi_t = I._phi(o, d).T                                         # (16, N)
+    if n <= chunk:
+        key, grp = _closest_key_chunk(cl, o, d, tmax)
+    else:
+        # pad to a chunk multiple so every dispatch shares one compile
+        nc = -(-n // chunk) * chunk
+        if nc != n:
+            o = jnp.concatenate([o, jnp.ones((nc - n, 3), o.dtype)])
+            d = jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], d.dtype),
+                                     (nc - n, 3))])
+            tmax = jnp.concatenate([tmax, jnp.zeros((nc - n,), tmax.dtype)])
+        parts = [
+            _closest_key_chunk(cl, o[i:i + chunk], d[i:i + chunk],
+                               tmax[i:i + chunk])
+            for i in range(0, nc, chunk)
+        ]
+        key = jnp.concatenate([p[0] for p in parts])
+        grp = jnp.concatenate([p[1] for p in parts])
 
-    # tile list: (block, group) pairs where any ray in the block enters
-    # the group, block-major (ascending flat index), inactive at the end
-    banytile = bits.reshape(G, nb, BLOCK).astype(bool).any(-1)     # (G, NB)
-    tmask = banytile.T.reshape(-1)                                 # (NB*G,)
-    maxt = nb * G
-    (tidx,) = jnp.nonzero(tmask, size=maxt, fill_value=maxt)
-    tactive = (tidx < maxt).astype(jnp.int32)
-    tb = jnp.where(tactive > 0, tidx // G, nb).astype(jnp.int32)
-    tg = jnp.where(tactive > 0, tidx % G, G).astype(jnp.int32)
-    tfirst = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         (tb[1:] != tb[:-1]).astype(jnp.int32)])
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(maxt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, SUBROWS, 128),
-                         lambda i, tb, tg, tf, ta: (tg[i], tb[i], 0, 0)),
-            pl.BlockSpec((16, BLOCK), lambda i, tb, tg, tf, ta: (0, tb[i])),
-            pl.BlockSpec((16 * GROUP, 4 * CSIZE),
-                         lambda i, tb, tg, tf, ta: (0, tg[i])),
-        ],
-        out_specs=[
-            pl.BlockSpec((SUBROWS, 128), lambda i, tb, tg, tf, ta: (tb[i], 0)),
-            pl.BlockSpec((SUBROWS, 128), lambda i, tb, tg, tf, ta: (tb[i], 0)),
-        ],
-    )
-    # bits gets a dummy group row and phi a dummy block column so the
-    # index maps stay in range for skipped tiles; bits is laid out
-    # (G+1, NB+1, 8, 128) so tile blocks satisfy the (8, 128) TPU tiling
-    bits_x = jnp.concatenate([bits, jnp.zeros((1, n), jnp.int32)], 0)
-    bits_x = jnp.concatenate(
-        [bits_x, jnp.zeros((G + 1, BLOCK), jnp.int32)], 1)
-    bits_x = bits_x.reshape(G + 1, nb + 1, SUBROWS, 128)
-    phi_x = jnp.concatenate([phi_t, jnp.zeros((16, BLOCK))], 1)
-    keys, grps = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
-            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
-        ],
-    )(tb, tg, tfirst, tactive, bits_x, phi_x, cl.w)
-
-    key = keys[:nb * SUBROWS].reshape(-1)
-    grp = grps[:nb * SUBROWS].reshape(-1)
-    # blocks that hit nothing are never written by the kernel
-    block_dead = ~banytile.any(0)                                  # (NB,)
-    key = jnp.where(jnp.repeat(block_dead, BLOCK), MISS_KEY, key)
     # range bound (the kernel tests t > eps only)
-    tmax_key = (jax.lax.bitcast_convert_type(tmax, jnp.int32)
+    tmax_key = (jax.lax.bitcast_convert_type(tmax[:n0], jnp.int32)
                 & jnp.int32(~jnp.int32(LANE_BITS)))
-    key = jnp.where(key <= (tmax_key | jnp.int32(LANE_BITS)),
-                    key, MISS_KEY)
-    key = key[:n0]
+    key = jnp.where(key[:n0] <= (tmax_key | jnp.int32(LANE_BITS)),
+                    key[:n0], MISS_KEY)
     grp = jnp.maximum(grp[:n0], 0)
     if inv is not None:
         key = key[inv]

@@ -71,7 +71,11 @@ MISS_KEY = MISS_BITS | LANE_BITS
 TILE_BUDGET = 131072
 # packed tile word: (tsub << 16) | tg  — tsub < 2^15, tg <= 0xFFFF
 MAX_NSUB = 1 << 15
-MAX_GROUPS = 0xFFFF
+# G must leave room for at least one SUBROWS-subrow ray chunk within
+# TILE_BUDGET (maxt = nsub * G <= TILE_BUDGET even at the minimum chunk
+# of one BLOCK), or the scalar-prefetch array overflows SMEM at dispatch.
+# 16384 groups = 16.8M triangles per binned table.
+MAX_GROUPS = TILE_BUDGET // SUBROWS
 
 # MXU precision: the GEMM runs as a manual bf16x3 split (hi@hi + hi@lo
 # + lo@hi, f32 accumulate) — three single-pass bf16 matmuls instead of
@@ -81,6 +85,41 @@ MAX_GROUPS = 0xFFFF
 # winner's t/barycentrics are recomputed in exact f32 afterwards.
 # Set False to fall back to Precision.HIGHEST (debugging).
 SPLIT_BF16 = True
+# Hit classification in the split-precision kernel (ADVICE r2): the
+# Moller-Trumbore numerators suffer cancellation near triangle edges —
+# the absolute GEMM error is ~3*2^-18 of the sum of un-cancelled TERM
+# magnitudes, NOT of the cancelled result, so the implied barycentric
+# noise err_u ~ DELTA * sum|phi_i w_i| / |det| is SCENE- and RAY-SCALE
+# DEPENDENT (measured up to 0.11 on the 0.28-unit reference bunny with
+# camera-distance rays; no fixed epsilon can be right). Three mechanisms
+# make the result exact anyway:
+#   1. magnitude reduction at the source: each group's coefficients are
+#      built in the group's LOCAL frame (p0 - group_center), and the
+#      kernel advances every ray to its group-bbox entry point before
+#      building the feature vector — so every product in the GEMM
+#      scales with the group radius (|o''| <= r_group), not with the
+#      camera distance or the mesh's world offset. This is the TPU
+#      analog of the classic watertight-traversal origin-rebasing
+#      trick, and shrinks the noise by 2-4 orders of magnitude;
+#   2. the kernel accepts with a per-(ray, triangle) noise band
+#      eps_num = DELTA_SPLIT * (|phi_hi| @ |w_hi|) — one extra bf16
+#      matmul computing the exact term-magnitude sum. Per-product bf16x3
+#      error is <= 3*2^-18 * |a||b| (two split residuals + the dropped
+#      lo@lo), so DELTA_SPLIT = 2.5e-5 has ~2x margin. The band is
+#      capped at BARY_CAP barycentric units so near-parallel (tiny-det)
+#      pairs cannot accept a whole cluster, and rays that miss the
+#      group bbox entirely are masked (a wide band could otherwise
+#      accept phantoms with garbage t). True hits are never
+#      noise-rejected (no light leaks);
+#   3. the band admits phantom near-misses whose quantised t can win the
+#      min-reduce and shadow the true hit — so the kernel tracks the
+#      best TWO candidate triangles per ray, and the decode re-tests
+#      both in exact f32, keeping the nearest exactly-valid one. A wrong
+#      result now needs two independent phantoms in front of the true
+#      hit, each requiring an exact plane crossing inside its own (now
+#      tight) noise band.
+DELTA_SPLIT = 2.5e-5
+BARY_CAP = 0.25
 
 
 @struct.dataclass
@@ -90,10 +129,16 @@ class Clusters:
     group's (16, 4096) GEMM block), plus a trailing all-zero dummy
     group (id G) for skipped tiles."""
 
-    w: jax.Array           # (16, (G+1) * GROUP * 4*CSIZE)
+    w: jax.Array           # (16, (G+1) * GROUP * 4*CSIZE) — group g's
+    #                        coefficients live in g's LOCAL frame
+    #                        (p0 - group_center; see DELTA_SPLIT)
     cmin: jax.Array        # (C, 3)  C = G*8 (padded with empty boxes)
     cmax: jax.Array        # (C, 3)
     tri_id: jax.Array      # (C*CSIZE,) original triangle id (-1 = pad)
+    gbox: jax.Array        # (8, (G+1)*128) per-group bbox, rows
+    #                        [cx cy cz hx hy hz 0 0] broadcast across
+    #                        the 128 lanes (center + half-extent; the
+    #                        kernel's origin-advance + in-box mask)
     n_clusters: int = struct.field(pytree_node=False, default=1)
     n_groups: int = struct.field(pytree_node=False, default=1)
 
@@ -130,10 +175,23 @@ def build_clusters(scene) -> Clusters:
     cmax = np.concatenate([tmax[order], np.full((pad, 3), -big)]) \
         .reshape(c, CSIZE, 3).max(1)
 
+    # per-group local frames: bbox over the group's clusters, and the
+    # GEMM coefficients built from group-recentred positions (the edge
+    # vectors are translation-invariant; only p0 shifts)
+    gmin = cmin.reshape(g, GROUP, 3).min(1)
+    gmax_ = cmax.reshape(g, GROUP, 3).max(1)
+    gmin = np.minimum(gmin, gmax_)          # all-pad groups: empty box
+    gcen = ((gmin + gmax_) * 0.5).astype(np.float32)
+    ghalf = np.maximum((gmax_ - gmin) * 0.5, 0.0).astype(np.float32)
+    gbox = np.zeros((8, (g + 1) * 128), np.float32)
+    rows = np.concatenate([gcen, ghalf], 1)            # (g, 6)
+    gbox[:6, : g * 128] = np.repeat(rows.T, 128, axis=1).reshape(6, -1)
+
     # GEMM coefficients in sorted order; pad slots zero -> det=0 -> miss
     po = np.concatenate([p0[order], np.zeros((pad, 3), np.float32)])
     e1 = np.concatenate([(p1 - p0)[order], np.zeros((pad, 3), np.float32)])
     e2 = np.concatenate([(p2 - p0)[order], np.zeros((pad, 3), np.float32)])
+    po = po - np.repeat(gcen, GROUP * CSIZE, axis=0)
     w_det, w_t, w_u, w_v = (np.asarray(a) for a in I._gemm_coeffs(
         jnp.asarray(po), jnp.asarray(e1), jnp.asarray(e2)))
     # (16, c*CSIZE) each -> (16, c, 4, CSIZE) -> (16, c*4*CSIZE)
@@ -143,7 +201,8 @@ def build_clusters(scene) -> Clusters:
         [w, np.zeros((16, GROUP * 4 * CSIZE), np.float32)], axis=1)
     return Clusters(
         w=jnp.asarray(w), cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
-        tri_id=jnp.asarray(tri_id), n_clusters=int(c), n_groups=int(g))
+        tri_id=jnp.asarray(tri_id), gbox=jnp.asarray(gbox),
+        n_clusters=int(c), n_groups=int(g))
 
 
 def _subrow_mask(cl: Clusters, o, d, tmax):
@@ -166,10 +225,15 @@ def _subrow_mask(cl: Clusters, o, d, tmax):
 def _make_kernel(n_groups: int):
     from jax.experimental import pallas as pl
 
-    def _kernel(s_ref, phi_ref, w_ref, key_ref, grp_ref):
-        """One (128-ray sub-row x group) tile: a single dense K=16 MXU
-        pass testing all 8 clusters of the group for all 128 rays,
-        min-merged into the ray block's packed-key accumulator."""
+    def _kernel(s_ref, od_ref, w_ref, bbox_ref,
+                key_ref, grp_ref, key2_ref, grp2_ref):
+        """One (128-ray sub-row x group) tile: advance each ray to the
+        group's bbox entry, build the 16-dim feature vector in the
+        group's local frame, run a single dense K=16 MXU pass testing
+        all 8 clusters of the group for all 128 rays, min-merge into
+        the ray block's TOP-2 packed-key accumulators (two distinct
+        candidate triangles per ray — decode re-tests both exactly,
+        see DELTA_SPLIT)."""
         i = pl.program_id(0)
         cur = s_ref[i]
         tg = cur & 0xFFFF
@@ -182,12 +246,37 @@ def _make_kernel(n_groups: int):
         def _():
             key_ref[...] = jnp.full((SUBROWS, 128), MISS_KEY, jnp.int32)
             grp_ref[...] = jnp.zeros((SUBROWS, 128), jnp.int32)
+            key2_ref[...] = jnp.full((SUBROWS, 128), MISS_KEY, jnp.int32)
+            grp2_ref[...] = jnp.zeros((SUBROWS, 128), jnp.int32)
 
         @pl.when(tg < n_groups)
         def _():
             srow = tsub - tb * SUBROWS
-            phi = phi_ref[...]                                 # (16, 128)
+            od = od_ref[...]                                   # (8, 128)
             w = w_ref[...]                                     # (16, 4096)
+            bb = bbox_ref[...]                                 # (8, 128)
+            o3 = od[0:3]
+            d3 = od[3:6]
+            cen = bb[0:3]
+            half = bb[3:6]
+            # advance the origin to the group-bbox entry point and move
+            # into the group's local frame: |o2| <= r_group, so every
+            # GEMM product is group-scaled (see DELTA_SPLIT)
+            inv = 1.0 / jnp.where(jnp.abs(d3) < 1e-12,
+                                  jnp.where(d3 >= 0, 1e-12, -1e-12), d3)
+            t0 = (cen - half - o3) * inv
+            t1 = (cen + half - o3) * inv
+            tn = jnp.max(jnp.minimum(t0, t1), axis=0)          # (128,)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=0)
+            inbox = (tn <= tf) & (tf > I.SHADOW_EPS)
+            # as f32: Mosaic cannot minor-dim-broadcast 1-D i1 vectors
+            inboxf = jnp.where(inbox, 1.0, 0.0)
+            adv = jnp.where(inbox, jnp.maximum(tn, 0.0), 0.0)
+            o2 = o3 + adv[None, :] * d3 - cen                  # (3, 128)
+            # feature rows [1, o2, d, o2 (x) d] — phi of the rebased ray
+            phi = jnp.concatenate(
+                [jnp.ones((1, 128), jnp.float32), o2, d3]
+                + [o2[i:i + 1] * d3 for i in range(3)], axis=0)  # (16,128)
             if SPLIT_BF16:
                 phi_hi = phi.astype(jnp.bfloat16)
                 phi_lo = (phi - phi_hi.astype(jnp.float32)) \
@@ -201,47 +290,87 @@ def _make_kernel(n_groups: int):
                         preferred_element_type=jnp.float32)
                 out = dot(phi_hi, w_hi) + dot(phi_hi, w_lo) \
                     + dot(phi_lo, w_hi)                        # (128, 4096)
+                # per-(ray, triangle) noise band: the exact sum of term
+                # magnitudes (one more bf16 matmul — see DELTA_SPLIT)
+                mag = DELTA_SPLIT * dot(jnp.abs(phi_hi), jnp.abs(w_hi))
             else:
                 out = jax.lax.dot_general(
                     phi, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)       # (128, 4096)
+                mag = jnp.zeros_like(out)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (128, CSIZE), 1)
-            best = jnp.full((128,), MISS_KEY, jnp.int32)
+            best1 = jnp.full((128,), MISS_KEY, jnp.int32)
+            best2 = jnp.full((128,), MISS_KEY, jnp.int32)
             for j in range(GROUP):
                 b = j * 4 * CSIZE
                 det = out[:, b + 0 * CSIZE:b + 1 * CSIZE]
                 t_num = out[:, b + 1 * CSIZE:b + 2 * CSIZE]
                 u_num = out[:, b + 2 * CSIZE:b + 3 * CSIZE]
                 v_num = out[:, b + 3 * CSIZE:b + 4 * CSIZE]
+                mag_u = mag[:, b + 2 * CSIZE:b + 3 * CSIZE]
+                mag_v = mag[:, b + 3 * CSIZE:b + 4 * CSIZE]
                 bad = jnp.abs(det) < 1e-12
+                a = jnp.abs(det)
+                s = jnp.where(det < 0, -1.0, 1.0)
                 inv_det = jnp.where(bad, 0.0,
                                     1.0 / jnp.where(bad, 1.0, det))
-                u = u_num * inv_det
-                v = v_num * inv_det
-                t = t_num * inv_det
-                hit = ((u >= -I.BARY_EPS) & (v >= -I.BARY_EPS)
-                       & (u + v <= 1.0 + I.BARY_EPS)
-                       & (t > I.SHADOW_EPS) & ~bad)
+                # world-frame t: group-local t plus the origin advance
+                t = t_num * inv_det + adv[:, None]
+                # numerator-space test with the capped noise band:
+                # u >= -eps  <=>  u_num * sign(det) >= -eps * |det|
+                cap = BARY_CAP * a
+                slack_u = I.BARY_EPS * a + jnp.minimum(mag_u, cap)
+                slack_v = I.BARY_EPS * a + jnp.minimum(mag_v, cap)
+                su = u_num * s
+                sv = v_num * s
+                hit = ((su >= -slack_u) & (sv >= -slack_v)
+                       & (su + sv <= a + slack_u + slack_v)
+                       & (t > I.SHADOW_EPS) & ~bad
+                       & (inboxf[:, None] > 0.5))
                 t = jnp.where(hit, t, MISS_F)
                 slot = j * CSIZE + lanes
                 key = (jax.lax.bitcast_convert_type(t, jnp.int32)
                        & jnp.int32(~jnp.int32(LANE_BITS))) | slot
-                best = jnp.minimum(best, jnp.min(key, axis=1))
-            # masked full-block merge (vectorized; no dynamic sublane io)
+                c1 = jnp.min(key, axis=1)
+                c2 = jnp.min(jnp.where(key == c1[:, None],
+                                       jnp.int32(MISS_KEY), key), axis=1)
+                lo = jnp.minimum(best1, c1)
+                hi = jnp.maximum(best1, c1)
+                best2 = jnp.minimum(jnp.minimum(best2, c2), hi)
+                best1 = lo
+            # masked full-block top-2 merge across tiles (vectorized; no
+            # dynamic sublane io). Accumulator (a1,a2) x pass (b1,b2):
+            # new1 = min(a1,b1); new2 = min(max(a1,b1), a2, b2). Keys are
+            # unique per triangle (slot bits), and a triangle belongs to
+            # exactly one tile, so candidates stay distinct.
             rows = jax.lax.broadcasted_iota(jnp.int32, (SUBROWS, 128), 0)
-            bb = jnp.broadcast_to(best[None, :], (SUBROWS, 128))
-            cur_k = key_ref[...]
-            better = (rows == srow) & (bb < cur_k)
-            key_ref[...] = jnp.where(better, bb, cur_k)
-            grp_ref[...] = jnp.where(better, tg, grp_ref[...])
+            mask = rows == srow
+            b1 = jnp.broadcast_to(best1[None, :], (SUBROWS, 128))
+            b2 = jnp.broadcast_to(best2[None, :], (SUBROWS, 128))
+            a1 = key_ref[...]
+            a2 = key2_ref[...]
+            g1 = grp_ref[...]
+            g2 = grp2_ref[...]
+            take_b = b1 < a1
+            n1 = jnp.where(take_b, b1, a1)
+            ng1 = jnp.where(take_b, tg, g1)
+            x = jnp.where(take_b, a1, b1)      # loser of the top contest
+            gx = jnp.where(take_b, g1, tg)
+            n2 = jnp.minimum(jnp.minimum(x, a2), b2)
+            ng2 = jnp.where(n2 == x, gx, jnp.where(n2 == a2, g2, tg))
+            key_ref[...] = jnp.where(mask, n1, a1)
+            grp_ref[...] = jnp.where(mask, ng1, g1)
+            key2_ref[...] = jnp.where(mask, n2, a2)
+            grp2_ref[...] = jnp.where(mask, ng2, g2)
 
     return _kernel
 
 
 def _closest_key_chunk(cl: Clusters, o, d, tmax):
     """One pallas dispatch over a BLOCK-multiple ray batch whose
-    nsub * G fits TILE_BUDGET. Returns (key, grp) in batch order."""
+    nsub * G fits TILE_BUDGET. Returns (key1, grp1, key2, grp2) in
+    batch order — the two best candidate triangles per ray."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -252,7 +381,6 @@ def _closest_key_chunk(cl: Clusters, o, d, tmax):
 
     submask = jax.lax.optimization_barrier(
         _subrow_mask(cl, o, d, tmax))                          # (nsub, G)
-    phi_t = I._phi(o, d).T                                     # (16, N)
 
     maxt = nsub * G
     (tidx,) = jnp.nonzero(submask.reshape(-1), size=maxt, fill_value=maxt)
@@ -261,42 +389,50 @@ def _closest_key_chunk(cl: Clusters, o, d, tmax):
     tg = jnp.where(live, tidx % G, G).astype(jnp.int32)
     packed = (tsub << 16) | tg
 
+    out_spec = pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0))
+    out_shape = jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(maxt,),
         in_specs=[
-            pl.BlockSpec((16, 128), lambda i, s: (0, s[i] >> 16)),
+            pl.BlockSpec((8, 128), lambda i, s: (0, s[i] >> 16)),
             pl.BlockSpec((16, GROUP * 4 * CSIZE),
                          lambda i, s: (0, s[i] & 0xFFFF)),
+            pl.BlockSpec((8, 128), lambda i, s: (0, s[i] & 0xFFFF)),
         ],
-        out_specs=[
-            pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0)),
-            pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0)),
-        ],
+        out_specs=[out_spec] * 4,
     )
-    # phi gets a dummy sub-row column block (index nsub) for padded tiles
-    phi_x = jnp.concatenate([phi_t, jnp.zeros((16, 128))], 1)
-    keys, grps = pl.pallas_call(
+    # ray rows [o|d|0|0]; a dummy sub-row column block for padded tiles
+    odm = jnp.concatenate(
+        [o.T, d.T, jnp.zeros((2, n), o.dtype)], 0)             # (8, N)
+    od_x = jnp.concatenate([odm, jnp.zeros((8, 128), o.dtype)], 1)
+    keys, grps, keys2, grps2 = pl.pallas_call(
         _make_kernel(G),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
-            jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32),
-        ],
-    )(packed, phi_x, cl.w)
+        out_shape=[out_shape] * 4,
+    )(packed, od_x, cl.w, cl.gbox)
 
-    key = keys[:nsub].reshape(-1)
-    grp = grps[:nsub].reshape(-1)
     # ray blocks that never got a tile are never written by the kernel
-    block_dead = ~submask.reshape(nb, SUBROWS, G).any((1, 2))  # (nb,)
-    key = jnp.where(jnp.repeat(block_dead, BLOCK), MISS_KEY, key)
-    return key, grp
+    block_dead = jnp.repeat(
+        ~submask.reshape(nb, SUBROWS, G).any((1, 2)), BLOCK)   # (n,)
+    key = jnp.where(block_dead, MISS_KEY, keys[:nsub].reshape(-1))
+    key2 = jnp.where(block_dead, MISS_KEY, keys2[:nsub].reshape(-1))
+    return key, grps[:nsub].reshape(-1), key2, grps2[:nsub].reshape(-1)
 
 
 def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
     """Returns (key (N,) int32 packed [t|slot], group (N,) int32 winning
     group id, exact (N,) bool — always True). Decode prim via
     cl.tri_id[group*GROUP*CSIZE + (key & LANE_BITS)]."""
+    k1, g1, _, _ = closest_key2(cl, o, d, tmax, sort=sort)
+    return k1, g1, jnp.ones((o.shape[0],), bool)
+
+
+def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
+    """Top-2 candidate keys per ray: (key1, grp1, key2, grp2). The
+    kernel classifies with the noise-scaled band (DELTA_SPLIT), so
+    candidate 1 can be a phantom near-miss — callers must re-test both
+    candidates in exact f32 (closest_hit / any_hit do)."""
     n0 = o.shape[0]
     G = cl.n_groups
     if sort and n0 >= 4 * BLOCK:
@@ -321,8 +457,8 @@ def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
         inv = None
 
     # chunk so each dispatch's tile list fits the scalar-prefetch SMEM
+    # (G <= MAX_GROUPS guarantees chunk >= BLOCK here)
     chunk = min(TILE_BUDGET // G, MAX_NSUB - SUBROWS) // SUBROWS * BLOCK
-    chunk = max(chunk, BLOCK)
     n = -(-n0 // BLOCK) * BLOCK
     if n != n0:
         o = jnp.concatenate([o, jnp.ones((n - n0, 3), o.dtype)])
@@ -332,7 +468,7 @@ def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
         tmax = jnp.concatenate([tmax, jnp.zeros((n - n0,), tmax.dtype)])
 
     if n <= chunk:
-        key, grp = _closest_key_chunk(cl, o, d, tmax)
+        parts = [_closest_key_chunk(cl, o, d, tmax)]
     else:
         # pad to a chunk multiple so every dispatch shares one compile
         nc = -(-n // chunk) * chunk
@@ -345,51 +481,84 @@ def closest_key(cl: Clusters, o, d, tmax, sort: bool = True):
         parts = [
             _closest_key_chunk(cl, o[i:i + chunk], d[i:i + chunk],
                                tmax[i:i + chunk])
-            for i in range(0, nc, chunk)
+            for i in range(0, -(-n // chunk) * chunk, chunk)
         ]
-        key = jnp.concatenate([p[0] for p in parts])
-        grp = jnp.concatenate([p[1] for p in parts])
+    key, grp, key2, grp2 = (
+        jnp.concatenate([p[k] for p in parts]) if len(parts) > 1
+        else parts[0][k] for k in range(4))
 
     # range bound (the kernel tests t > eps only)
     tmax_key = (jax.lax.bitcast_convert_type(tmax[:n0], jnp.int32)
-                & jnp.int32(~jnp.int32(LANE_BITS)))
-    key = jnp.where(key[:n0] <= (tmax_key | jnp.int32(LANE_BITS)),
-                    key[:n0], MISS_KEY)
+                & jnp.int32(~jnp.int32(LANE_BITS))) | jnp.int32(LANE_BITS)
+    key = jnp.where(key[:n0] <= tmax_key, key[:n0], MISS_KEY)
+    key2 = jnp.where(key2[:n0] <= tmax_key, key2[:n0], MISS_KEY)
     grp = jnp.maximum(grp[:n0], 0)
+    grp2 = jnp.maximum(grp2[:n0], 0)
     if inv is not None:
         key = key[inv]
         grp = grp[inv]
-    return key, grp, jnp.ones((n0,), bool)
+        key2 = key2[inv]
+        grp2 = grp2[inv]
+    return key, grp, key2, grp2
 
 
-def closest_hit(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
-    n = o.shape[0]
-    if tmax is None:
-        tmax = jnp.full((n,), jnp.float32(3e37))
-    key, group, _ = closest_key(cl, o, d, tmax)
+def _decode_prim(cl: Clusters, key, grp):
+    """(key, grp) -> (kernel-valid, quantised t, triangle id)."""
     t = jax.lax.bitcast_convert_type(
         key & jnp.int32(~jnp.int32(LANE_BITS)), jnp.float32)
-    valid = t < MISS_F
-    slot = jnp.clip(group, 0, cl.n_groups - 1) * (GROUP * CSIZE) \
+    slot = jnp.clip(grp, 0, cl.n_groups - 1) * (GROUP * CSIZE) \
         + (key & jnp.int32(LANE_BITS))
-    prim = jnp.maximum(cl.tri_id[slot], 0)
-    # the packed key spends its low 10 mantissa bits on the slot id;
-    # recompute the exact t (and barycentrics) against the single winning
-    # triangle (Moller-Trumbore, one triangle per ray)
+    return t < MISS_F, t, jnp.maximum(cl.tri_id[slot], 0)
+
+
+def _exact_test(scene, prim, o, d):
+    """Exact f32 Moller-Trumbore of each ray against one triangle.
+    Returns (t, b1, b2, strictly-inside with the f32 BARY_EPS)."""
     vi = scene.indices[prim]
     v0 = scene.vertices[vi[:, 0]]
     e1 = scene.vertices[vi[:, 1]] - v0
     e2 = scene.vertices[vi[:, 2]] - v0
     pv = jnp.cross(d, e2)
     det = jnp.sum(e1 * pv, -1)
-    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0,
-                        1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det))
+    bad = jnp.abs(det) < 1e-12
+    inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
     tv = o - v0
     b1 = jnp.sum(tv * pv, -1) * inv_det
     qv = jnp.cross(tv, e1)
     b2 = jnp.sum(d * qv, -1) * inv_det
-    t_exact = jnp.sum(e2 * qv, -1) * inv_det
-    t = jnp.where(valid & (t_exact > 0), t_exact, t)
+    t = jnp.sum(e2 * qv, -1) * inv_det
+    ok = ((b1 >= -I.BARY_EPS) & (b2 >= -I.BARY_EPS)
+          & (b1 + b2 <= 1.0 + I.BARY_EPS) & (t > I.SHADOW_EPS) & ~bad)
+    return t, b1, b2, ok
+
+
+def closest_hit(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), jnp.float32(3e37))
+    k1, g1, k2, g2 = closest_key2(cl, o, d, tmax)
+    valid1, tq1, prim1 = _decode_prim(cl, k1, g1)
+    valid2, _, prim2 = _decode_prim(cl, k2, g2)
+    # the packed key spends its low 10 mantissa bits on the slot id and
+    # the kernel classified inside the noise band — re-test BOTH
+    # candidates in exact f32 and keep the nearest exactly-valid one
+    # (rescues true hits shadowed by a phantom near-miss winner)
+    te1, b11, b21, ok1 = _exact_test(scene, prim1, o, d)
+    te2, b12, b22, ok2 = _exact_test(scene, prim2, o, d)
+    ok1 &= valid1 & (te1 <= tmax)
+    ok2 &= valid2 & (te2 <= tmax)
+    use2 = ok2 & (~ok1 | (te2 < te1))
+    prim = jnp.where(use2, prim2, prim1)
+    t = jnp.where(use2, te2, te1)
+    b1 = jnp.where(use2, b12, b11)
+    b2 = jnp.where(use2, b22, b21)
+    # both candidates exactly-marginal but the kernel saw a hit: keep
+    # candidate 1 clamped onto its triangle rather than leak (for shared
+    # edges the winner is the same geometric point as the neighbour)
+    valid = valid1 | ok2
+    t = jnp.where(ok1 | use2, t, jnp.where(te1 > 0, te1, tq1))
+    b1 = jnp.clip(b1, 0.0, 1.0)
+    b2 = jnp.clip(b2, 0.0, 1.0 - b1)
     return I.Intersection(valid=valid, t=jnp.where(valid, t, I.MISS),
                           prim=jnp.where(valid, prim, 0),
                           b1=jnp.where(valid, b1, 0.0),
@@ -398,7 +567,10 @@ def closest_hit(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
 
 def any_hit(scene, cl: Clusters, o, d, tmax) -> jax.Array:
     limit = tmax * (1.0 - I.SHADOW_EPS)
-    key, _, _ = closest_key(cl, o, d, limit)
-    t = jax.lax.bitcast_convert_type(
-        key & jnp.int32(~jnp.int32(LANE_BITS)), jnp.float32)
-    return t < MISS_F
+    k1, g1, k2, g2 = closest_key2(cl, o, d, limit)
+    valid1, _, prim1 = _decode_prim(cl, k1, g1)
+    valid2, _, prim2 = _decode_prim(cl, k2, g2)
+    # exact re-test so a phantom near-miss cannot cast a shadow
+    te1, _, _, ok1 = _exact_test(scene, prim1, o, d)
+    te2, _, _, ok2 = _exact_test(scene, prim2, o, d)
+    return (valid1 & ok1 & (te1 <= limit)) | (valid2 & ok2 & (te2 <= limit))

@@ -222,3 +222,54 @@ def test_binned_sorted_path_matches_brute():
     assert np.allclose(np.asarray(ref.t)[both],
                        np.asarray(its.t)[np.asarray(idx)][both],
                        rtol=1e-4, atol=1e-5)
+
+
+def test_binned_edge_adversarial_no_leaks():
+    """Rays aimed exactly through shared triangle edges must hit: the
+    split-precision kernel's bf16x3 barycentric noise scales with scene
+    magnitudes (up to ~0.1 on this 0.28-unit bunny!), so hit
+    classification uses a noise-scaled band + top-2 exact re-test
+    (DELTA_SPLIT / BARY_CAP in ops/binned_intersect.py, ADVICE r2).
+    Contract: wherever exact-f32 brute force hits, the binned path must
+    hit the same t — ZERO leaks — with in-gamut barycentrics."""
+    from mitsuba_tpu.ops import binned_intersect as bi
+    from mitsuba_tpu.ops import intersect as isect
+    from mitsuba_tpu.scene import ir as irlib
+
+    v, f = _bunny_or_synthetic()
+    scene = irlib.build_scene(v, f, np.zeros(len(f), np.int32),
+                              [{"type": irlib.BSDF_DIFFUSE}])
+    cl = bi.build_clusters(scene)
+    vv = np.asarray(v)
+    ff = np.asarray(f)
+    # aim straight down through triangle edge midpoints AND vertices —
+    # the maximal-cancellation points for the Moller-Trumbore numerators
+    n = 256
+    rng = np.random.RandomState(7)
+    pick = rng.choice(len(ff), n)
+    mid = 0.5 * (vv[ff[pick[: n // 2], 1]] + vv[ff[pick[: n // 2], 2]])
+    corner = vv[ff[pick[n // 2:], 0]]
+    aim = np.concatenate([mid, corner]).astype(np.float32)
+    o = jnp.asarray(aim + np.array([0.0, 2.0, 0.0], np.float32))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+
+    its = _interp(bi.closest_hit)(scene, cl, o, d)
+    ref = isect.intersect_brute(scene, o, d)
+    valid = np.asarray(its.valid)
+    rv = np.asarray(ref.valid)
+    leaks = rv & ~valid
+    assert not leaks.any(), f"edge leaks vs brute: {leaks.sum()}/{n}"
+    both = rv & valid
+    tb = np.asarray(ref.t)[both]
+    to = np.asarray(its.t)[both]
+    close = np.isclose(tb, to, rtol=1e-4, atol=1e-5)
+    # exactly-on-edge rays can slip through BRUTE's strict 1e-6 test
+    # (u+v = 1+1e-4 on both edge triangles) and hit the surface behind;
+    # the binned path's clamped fallback keeps the edge point instead —
+    # watertight, so the only allowed disagreement is ours NEARER
+    assert (close | (to <= tb + 1e-5)).all(), \
+        f"farther-than-brute hits: {(~close & (to > tb)).sum()}"
+    assert close.mean() > 0.98, f"t agreement {close.mean():.3f}"
+    b1 = np.asarray(its.b1)[valid]
+    b2 = np.asarray(its.b2)[valid]
+    assert (b1 >= 0).all() and (b2 >= 0).all() and (b1 + b2 <= 1 + 1e-6).all()

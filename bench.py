@@ -58,13 +58,19 @@ def main():
     # estimator/sample set as path.li — validated bit-exact in tests)
     from mitsuba_tpu.integrators import wavefront
 
+    # sync via a VALUE fetch: on the tunneled backend block_until_ready
+    # can return before device execution finishes (measured: 33 chained
+    # 4096^3 matmuls "completed" in 0.07 ms); a device->host read of the
+    # result cannot lie
+    import numpy as _np
+
     img = wavefront.render_jit(scene, cam, cfg)
-    img.block_until_ready()
+    _np.asarray(img[:1, :1])
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         img = wavefront.render_jit(scene, cam, cfg)
-    img.block_until_ready()
+        _np.asarray(img[:1, :1])
     dt = (time.perf_counter() - t0) / reps
 
     total_rays = rays_per_sample * npix * spp
@@ -86,7 +92,8 @@ def main():
             "rays_per_sample": rays_per_sample, "render_s": dt,
             "device": str(jax.devices()[0]),
             "mean_radiance": float(img.mean()),
-            "bigmesh_70k_rays_per_sec": bigmesh,
+            "bigmesh_70k_rays_per_sec": bigmesh[0],
+            "bigmesh_70k_coherent_rays_per_sec": bigmesh[1],
         },
     }))
 
@@ -124,15 +131,24 @@ def _bigmesh_rays_per_sec(n_rays: int = 1 << 17, reps: int = 5) -> float:
     o = a * 2.0
     d = b * u * 0.9 - o
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # camera-like coherent set (one origin, cone of directions) — the
+    # regime rendering workloads actually run in
+    xy = jax.random.uniform(k1, (n_rays, 2), minval=-0.5, maxval=0.5)
+    oc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 4.0]), (n_rays, 3))
+    dc = jnp.concatenate([xy, -jnp.ones((n_rays, 1))], -1)
+    dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
 
     f = jax.jit(lambda s, o_, d_: trace.closest_hit(s, o_, d_).t)
-    r = f(scene, o, d)
-    r.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = f(scene, o, d)
-    r.block_until_ready()
-    return n_rays / ((time.perf_counter() - t0) / reps)
+    out = []
+    for oo, dd in ((o, d), (oc, dc)):
+        r = f(scene, oo, dd)
+        np.asarray(r[:4])      # value fetch: see the sync note in main()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = f(scene, oo, dd)
+            np.asarray(r[:4])
+        out.append(n_rays / ((time.perf_counter() - t0) / reps))
+    return tuple(out)
 
 
 if __name__ == "__main__":

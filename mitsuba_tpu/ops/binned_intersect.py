@@ -34,18 +34,19 @@ Pipeline:
      int32 scalar-prefetch array (sub_row << 16 | group), bounded per
      dispatch by TILE_BUDGET (rays are chunked above that — SMEM holds
      ~256K scalars and the v3 four-array layout OOMed at 2^20 rays);
-  4. the Pallas kernel runs one dense K=16 MXU pass per tile and
-     min-accumulates packed [t|slot] keys into the block's per-ray
-     accumulator (no per-lane cull bits on the hot path: testing a
-     cluster whose box a ray missed cannot produce a hit, so the mask
-     only gates enumeration);
+  4. the Pallas kernel advances each ray to the group bbox, builds the
+     feature vector in the group's local frame (precision — see
+     DELTA_SPLIT), runs one dense K=16 MXU pass per tile, and
+     min-accumulates TOP-2 packed [t|slot] keys into the block's
+     per-ray accumulators; the per-pair VPU post (the measured
+     bottleneck) is gated per cluster by an in-kernel slab test;
   5. decode reads the per-ray keys straight off — no segment reduction —
-     and re-derives exact t/barycentrics against the single winning
-     triangle.
+     and re-tests both candidates exactly against their triangles.
 
-Rays are optionally pre-sorted by (direction octant, origin Morton) so
-sub-rows hit few groups; camera rays are already coherent. Results are
-always exact — every hit cluster is tested."""
+Rays are optionally pre-sorted by (direction cell, origin cell) so
+sub-rows hit few clusters; camera rays are already coherent. Results
+are exact: every cluster a ray's sub-row enters is tested, and the
+winning candidates are re-validated in f32."""
 from __future__ import annotations
 
 import jax
@@ -139,6 +140,12 @@ class Clusters:
     #                        [cx cy cz hx hy hz 0 0] broadcast across
     #                        the 128 lanes (center + half-extent; the
     #                        kernel's origin-advance + in-box mask)
+    cbox: jax.Array        # (8, (G+1)*GROUP*128) per-CLUSTER bbox in
+    #                        the same row layout, one 128-lane column
+    #                        block per cluster — the kernel's per-
+    #                        cluster slab gate (dead clusters skip the
+    #                        whole VPU post-pass, the measured
+    #                        bottleneck)
     n_clusters: int = struct.field(pytree_node=False, default=1)
     n_groups: int = struct.field(pytree_node=False, default=1)
 
@@ -186,6 +193,14 @@ def build_clusters(scene) -> Clusters:
     gbox = np.zeros((8, (g + 1) * 128), np.float32)
     rows = np.concatenate([gcen, ghalf], 1)            # (g, 6)
     gbox[:6, : g * 128] = np.repeat(rows.T, 128, axis=1).reshape(6, -1)
+    # per-cluster boxes (pad clusters: cen 0 / half 0 -> a point box;
+    # their triangles are all det=0 so a spurious gate-open is harmless)
+    ccen = np.where(cmin <= cmax, (cmin + cmax) * 0.5, 0.0) \
+        .astype(np.float32)
+    chalf = np.maximum((cmax - cmin) * 0.5, 0.0).astype(np.float32)
+    cbox = np.zeros((8, (g + 1) * GROUP * 128), np.float32)
+    crows = np.concatenate([ccen, chalf], 1)           # (c, 6)
+    cbox[:6, : c * 128] = np.repeat(crows.T, 128, axis=1).reshape(6, -1)
 
     # GEMM coefficients in sorted order; pad slots zero -> det=0 -> miss
     po = np.concatenate([p0[order], np.zeros((pad, 3), np.float32)])
@@ -202,7 +217,7 @@ def build_clusters(scene) -> Clusters:
     return Clusters(
         w=jnp.asarray(w), cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
         tri_id=jnp.asarray(tri_id), gbox=jnp.asarray(gbox),
-        n_clusters=int(c), n_groups=int(g))
+        cbox=jnp.asarray(cbox), n_clusters=int(c), n_groups=int(g))
 
 
 def _subrow_mask(cl: Clusters, o, d, tmax):
@@ -225,15 +240,19 @@ def _subrow_mask(cl: Clusters, o, d, tmax):
 def _make_kernel(n_groups: int):
     from jax.experimental import pallas as pl
 
-    def _kernel(s_ref, od_ref, w_ref, bbox_ref,
-                key_ref, grp_ref, key2_ref, grp2_ref):
+    def _kernel(s_ref, od_ref, w_ref, bbox_ref, cbox_ref,
+                key_ref, grp_ref, key2_ref, grp2_ref, scr_ref):
         """One (128-ray sub-row x group) tile: advance each ray to the
         group's bbox entry, build the 16-dim feature vector in the
         group's local frame, run a single dense K=16 MXU pass testing
         all 8 clusters of the group for all 128 rays, min-merge into
         the ray block's TOP-2 packed-key accumulators (two distinct
         candidate triangles per ray — decode re-tests both exactly,
-        see DELTA_SPLIT)."""
+        see DELTA_SPLIT). The per-pair VPU post-pass is the measured
+        bottleneck (~40 ops/pair), so each cluster's post is gated by
+        an in-kernel 128-ray slab test: clusters no ray of the sub-row
+        enters skip it entirely (~2x fewer pairs on sorted bounce
+        rays, ~4x on camera rays)."""
         i = pl.program_id(0)
         cur = s_ref[i]
         tg = cur & 0xFFFF
@@ -300,45 +319,70 @@ def _make_kernel(n_groups: int):
                     precision=jax.lax.Precision.HIGHEST)       # (128, 4096)
                 mag = jnp.zeros_like(out)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (128, CSIZE), 1)
-            best1 = jnp.full((128,), MISS_KEY, jnp.int32)
-            best2 = jnp.full((128,), MISS_KEY, jnp.int32)
+            cb = cbox_ref[...]                                 # (8, 1024)
+            scr_ref[...] = jnp.full((8, 128), MISS_KEY, jnp.int32)
             for j in range(GROUP):
-                b = j * 4 * CSIZE
-                det = out[:, b + 0 * CSIZE:b + 1 * CSIZE]
-                t_num = out[:, b + 1 * CSIZE:b + 2 * CSIZE]
-                u_num = out[:, b + 2 * CSIZE:b + 3 * CSIZE]
-                v_num = out[:, b + 3 * CSIZE:b + 4 * CSIZE]
-                mag_u = mag[:, b + 2 * CSIZE:b + 3 * CSIZE]
-                mag_v = mag[:, b + 3 * CSIZE:b + 4 * CSIZE]
-                bad = jnp.abs(det) < 1e-12
-                a = jnp.abs(det)
-                s = jnp.where(det < 0, -1.0, 1.0)
-                inv_det = jnp.where(bad, 0.0,
-                                    1.0 / jnp.where(bad, 1.0, det))
-                # world-frame t: group-local t plus the origin advance
-                t = t_num * inv_det + adv[:, None]
-                # numerator-space test with the capped noise band:
-                # u >= -eps  <=>  u_num * sign(det) >= -eps * |det|
-                cap = BARY_CAP * a
-                slack_u = I.BARY_EPS * a + jnp.minimum(mag_u, cap)
-                slack_v = I.BARY_EPS * a + jnp.minimum(mag_v, cap)
-                su = u_num * s
-                sv = v_num * s
-                hit = ((su >= -slack_u) & (sv >= -slack_v)
-                       & (su + sv <= a + slack_u + slack_v)
-                       & (t > I.SHADOW_EPS) & ~bad
-                       & (inboxf[:, None] > 0.5))
-                t = jnp.where(hit, t, MISS_F)
-                slot = j * CSIZE + lanes
-                key = (jax.lax.bitcast_convert_type(t, jnp.int32)
-                       & jnp.int32(~jnp.int32(LANE_BITS))) | slot
-                c1 = jnp.min(key, axis=1)
-                c2 = jnp.min(jnp.where(key == c1[:, None],
-                                       jnp.int32(MISS_KEY), key), axis=1)
-                lo = jnp.minimum(best1, c1)
-                hi = jnp.maximum(best1, c1)
-                best2 = jnp.minimum(jnp.minimum(best2, c2), hi)
-                best1 = lo
+                # per-cluster slab gate: skip the whole post-pass when
+                # no ray of the sub-row enters cluster j's box
+                cs = cb[:, j * 128:(j + 1) * 128]
+                clo = cs[0:3] - cs[3:6]
+                chi = cs[0:3] + cs[3:6]
+                tc0 = (clo - o3) * inv
+                tc1 = (chi - o3) * inv
+                tnc = jnp.max(jnp.minimum(tc0, tc1), axis=0)
+                tfc = jnp.min(jnp.maximum(tc0, tc1), axis=0)
+                okj = (tnc <= tfc) & (tfc > I.SHADOW_EPS) & inbox
+
+                @pl.when(jnp.any(okj))
+                def _(j=j):
+                    b = j * 4 * CSIZE
+                    det = out[:, b + 0 * CSIZE:b + 1 * CSIZE]
+                    t_num = out[:, b + 1 * CSIZE:b + 2 * CSIZE]
+                    u_num = out[:, b + 2 * CSIZE:b + 3 * CSIZE]
+                    v_num = out[:, b + 3 * CSIZE:b + 4 * CSIZE]
+                    # sign-free classification: a hit has det, u_num,
+                    # v_num, w_num, t_num ALL the same sign; the noise
+                    # band widens each barycentric numerator by its
+                    # capped magnitude bound (see DELTA_SPLIT)
+                    a = jnp.abs(det)
+                    cap = BARY_CAP * a
+                    eps_a = I.BARY_EPS * a
+                    mu = jnp.minimum(mag[:, b + 2 * CSIZE:b + 3 * CSIZE]
+                                     + eps_a, cap)
+                    mv = jnp.minimum(mag[:, b + 3 * CSIZE:b + 4 * CSIZE]
+                                     + eps_a, cap)
+                    w_num = det - u_num - v_num
+                    mw = mu + mv
+                    pos = jnp.minimum(
+                        jnp.minimum(u_num + mu, v_num + mv),
+                        jnp.minimum(w_num + mw, det))
+                    pos = jnp.minimum(pos, t_num)
+                    neg = jnp.maximum(
+                        jnp.maximum(u_num - mu, v_num - mv),
+                        jnp.maximum(w_num - mw, det))
+                    neg = jnp.maximum(neg, t_num)
+                    # world-frame t (quantised anyway: approx
+                    # reciprocal is fine — decode re-derives exact t)
+                    tw = t_num * pl.reciprocal(det, approx=True) \
+                        + adv[:, None]
+                    hit = (((pos > 0) | (neg < 0))
+                           & (tw > I.SHADOW_EPS)
+                           & (inboxf[:, None] > 0.5))
+                    t = jnp.where(hit, tw, MISS_F)
+                    slot = j * CSIZE + lanes
+                    key = (jax.lax.bitcast_convert_type(t, jnp.int32)
+                           & jnp.int32(~jnp.int32(LANE_BITS))) | slot
+                    c1 = jnp.min(key, axis=1)
+                    c2 = jnp.min(jnp.where(key == c1[:, None],
+                                           jnp.int32(MISS_KEY), key),
+                                 axis=1)
+                    b1 = scr_ref[0, :]
+                    b2 = scr_ref[1, :]
+                    scr_ref[0, :] = jnp.minimum(b1, c1)
+                    scr_ref[1, :] = jnp.minimum(
+                        jnp.minimum(b2, c2), jnp.maximum(b1, c1))
+            best1 = scr_ref[0, :]
+            best2 = scr_ref[1, :]
             # masked full-block top-2 merge across tiles (vectorized; no
             # dynamic sublane io). Accumulator (a1,a2) x pass (b1,b2):
             # new1 = min(a1,b1); new2 = min(max(a1,b1), a2, b2). Keys are
@@ -399,8 +443,10 @@ def _closest_key_chunk(cl: Clusters, o, d, tmax):
             pl.BlockSpec((16, GROUP * 4 * CSIZE),
                          lambda i, s: (0, s[i] & 0xFFFF)),
             pl.BlockSpec((8, 128), lambda i, s: (0, s[i] & 0xFFFF)),
+            pl.BlockSpec((8, GROUP * 128), lambda i, s: (0, s[i] & 0xFFFF)),
         ],
         out_specs=[out_spec] * 4,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
     )
     # ray rows [o|d|0|0]; a dummy sub-row column block for padded tiles
     odm = jnp.concatenate(
@@ -410,7 +456,7 @@ def _closest_key_chunk(cl: Clusters, o, d, tmax):
         _make_kernel(G),
         grid_spec=grid_spec,
         out_shape=[out_shape] * 4,
-    )(packed, od_x, cl.w, cl.gbox)
+    )(packed, od_x, cl.w, cl.gbox, cl.cbox)
 
     # ray blocks that never got a tile are never written by the kernel
     block_dead = jnp.repeat(
@@ -436,18 +482,18 @@ def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
     n0 = o.shape[0]
     G = cl.n_groups
     if sort and n0 >= 4 * BLOCK:
-        # coherence sort: direction octant then origin Morton cell, so
-        # each 128-ray sub-row touches few groups (camera rays already
-        # are coherent; bounce/bench rays benefit)
-        oct_ = ((d[:, 0] < 0).astype(jnp.uint32)
-                | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-                | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+        # coherence sort: 3-bit-per-axis direction cell then origin
+        # cell, so each 128-ray sub-row touches few clusters (measured
+        # on the 70k bench mesh at 2^20 rays: cluster-level activity
+        # 0.49 -> 0.27 vs the old octant+morton15 key)
+        qd = ((d * 0.5 + 0.5) * 7.999).astype(jnp.uint32)
         lo = jnp.min(cl.cmin, 0)
         hi = jnp.max(cl.cmax, 0)
         q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-        qi = (q * 31).astype(jnp.uint32)
-        cell = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
-        perm = jnp.argsort((oct_ << 15) | cell)
+        qi = (q * 31.999).astype(jnp.uint32)
+        kd = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
+        ko = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
+        perm = jnp.argsort((kd << 15) | ko)
         inv = jnp.zeros((n0,), jnp.int32).at[perm].set(
             jnp.arange(n0, dtype=jnp.int32), unique_indices=True)
         o = o[perm]

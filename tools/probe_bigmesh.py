@@ -63,12 +63,12 @@ def main():
             n = 1 << lg
             o, d = rays(n, coherent)
             r = f(scene, scene.clusters, o, d)
-            r.block_until_ready()
+            np.asarray(r[:4])  # value fetch — block_until_ready can lie
             reps = 3
             t0 = time.perf_counter()
             for _ in range(reps):
                 r = f(scene, scene.clusters, o, d)
-            r.block_until_ready()
+                np.asarray(r[:4])
             dt = (time.perf_counter() - t0) / reps
             tag = "coh" if coherent else "inc"
             print(f"{tag} n=2^{lg}: {n/dt/1e6:6.2f} M rays/s ({dt*1e3:.1f} ms)")

@@ -304,9 +304,14 @@ def _make_kernel(n_groups: int):
                 w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
                 def dot(a, b):
+                    # precision pinned: the manual bf16x3 split IS the
+                    # precision strategy — a global
+                    # jax_default_matmul_precision=float32 would make
+                    # Mosaic reject the bf16 matmul ("Bad lhs type")
                     return jax.lax.dot_general(
                         a, b, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
                 out = dot(phi_hi, w_hi) + dot(phi_hi, w_lo) \
                     + dot(phi_lo, w_hi)                        # (128, 4096)
                 # per-(ray, triangle) noise band: the exact sum of term

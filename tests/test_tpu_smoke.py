@@ -142,8 +142,16 @@ def test_binned_intersector_tpu():
     ref = isect.intersect_brute(scene, o, d)
     va, vb = np.asarray(ref.valid), np.asarray(its.valid)
     assert (va == vb).mean() > 0.999
+    leaks = va & ~vb
+    assert not leaks.any(), f"leaks vs brute: {leaks.sum()}"
     both = va & vb
-    assert np.allclose(np.asarray(ref.t)[both], np.asarray(its.t)[both],
-                       rtol=1e-4, atol=1e-5)
+    tb = np.asarray(ref.t)[both]
+    to = np.asarray(its.t)[both]
+    close = np.isclose(tb, to, rtol=1e-4, atol=1e-5)
+    # rare (~1e-4) exact-edge rays resolve to the kernel's clamped edge
+    # point, never farther than brute (watertight bias — see the
+    # adversarial contract in test_bvh.py)
+    assert (close | (to <= tb + 1e-5)).all()
+    assert close.mean() > 0.999, close.mean()
     assert (np.asarray(ref.prim)[both]
             == np.asarray(its.prim)[both]).mean() > 0.999

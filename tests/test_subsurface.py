@@ -44,7 +44,7 @@ def test_cache_and_gather():
     mask = np.zeros(scene.num_triangles, bool)
     mask[10:20] = True
     pts, nrm, area = sss.sample_surface_points(scene, mask, 256)
-    assert pts.shape == (256, 3) and area > 0
+    assert pts.shape[1] == 3 and pts.shape[0] > 128 and area > 0
     from mitsuba_tpu.integrators.common import RenderConfig
 
     E = sss.compute_irradiance(scene, pts, nrm, RenderConfig(seed=1), n_samples=4)
@@ -88,3 +88,26 @@ def test_single_scatter_positive_and_attenuates():
     assert lo_bright > 0
     # higher absorption at fixed scattering -> dimmer single scatter
     assert lo_dark < 0.7 * lo_bright, (lo_dark, lo_bright)
+
+
+def test_blue_noise_placement():
+    """Dart-thrown points keep the Poisson-disk separation (bluenoise.cpp
+    blueNoisePointSet contract): no two points closer than the density
+    radius, and coverage close to the requested count."""
+    scene, cam = builtin.cornell_box()
+    mask = np.zeros(scene.num_triangles, bool)
+    mask[0:2] = True    # the floor quad: flat, easy to reason about
+    n_req = 200
+    pts, nrm, area = sss.sample_surface_points(scene, mask, n_req, seed=3)
+    pts = np.asarray(pts)
+    assert len(pts) > 0.6 * n_req        # dart throwing achieves most
+    # pairwise min distance >= the derived radius
+    total_area = float(area) * len(pts)
+    r = 0.7 * np.sqrt(total_area / (2.0 * np.sqrt(3.0) * n_req))
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    d2 += np.eye(len(pts)) * 1e9
+    assert d2.min() >= r * r * (1 - 1e-5), (np.sqrt(d2.min()), r)
+    # stratified fallback has no separation guarantee but keeps count
+    pts2, _, _ = sss.sample_surface_points(scene, mask, n_req, seed=3,
+                                           blue_noise=False)
+    assert pts2.shape == (n_req, 3)

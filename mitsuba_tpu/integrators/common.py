@@ -142,13 +142,19 @@ def render_jit(scene, cam, li_fn: LiFn, cfg: RenderConfig,
 
 def power_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
     """Power heuristic (beta=2) MIS weight for strategy a
-    (reference miWeight, src/integrators/path/path.cpp:176)."""
-    a2 = pdf_a * pdf_a
-    return jnp.where(pdf_a > 0.0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30), 0.0)
+    (reference miWeight, src/integrators/path/path.cpp:176).
+
+    Written in ratio form 1/(1 + (b/a)^2) so an infinite pdf_a (grazing
+    area-light samples: dist^2/cos -> inf) yields weight 1 instead of the
+    inf/inf = NaN of the naive a^2/(a^2+b^2) — masked-lane NaNs poison
+    reverse-mode AD through 0*nan cotangents."""
+    r = pdf_b / jnp.maximum(pdf_a, 1e-30)
+    return jnp.where(pdf_a > 0.0, 1.0 / (1.0 + r * r), 0.0)
 
 
 def balance_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:
-    return jnp.where(pdf_a > 0.0, pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-30), 0.0)
+    r = pdf_b / jnp.maximum(pdf_a, 1e-30)
+    return jnp.where(pdf_a > 0.0, 1.0 / (1.0 + r), 0.0)
 
 
 def uniform_heuristic(pdf_a: jax.Array, pdf_b: jax.Array) -> jax.Array:

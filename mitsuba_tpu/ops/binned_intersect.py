@@ -220,6 +220,55 @@ def build_clusters(scene) -> Clusters:
         cbox=jnp.asarray(cbox), n_clusters=int(c), n_groups=int(g))
 
 
+def _safe_inv(d):
+    """Reciprocal direction with the +-1e-12 zero guard (shared by every
+    slab test in this module and by the probe tools — ADVICE r3)."""
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d >= 0, 1e-12, -1e-12), d)
+
+
+def ray_sort_perm(cl: Clusters, o, d, tmax):
+    """Group-signature coherence sort (v6).
+
+    v5 sorted rays by a (direction-cell, origin-cell) heuristic; the
+    measured sub-row tile activity on the 70k bench mesh was 0.27 vs an
+    ideal (per-ray) activity of ~0.035 — i.e. ~8x wasted MXU+post work
+    because the 128 rays of a sub-row enter the UNION of their group
+    sets. v6 sorts by the *exact entry signature* instead: the (first,
+    last) group-id entered along the ray plus the entered-group count,
+    with a direction cell as tiebreak (helps the kernel's per-cluster
+    slab gate). Rays with identical signatures form runs whose sub-rows
+    test exactly their own groups; the per-ray group test is a fused
+    reduce over G (the (N, G) map never materializes). Rays entering
+    nothing sort to the end, so their blocks are skipped entirely.
+    """
+    G = cl.n_groups
+    gmin = cl.cmin.reshape(G, GROUP, 3).min(1)       # (G, 3); pads are
+    gmax = cl.cmax.reshape(G, GROUP, 3).max(1)       # empty boxes
+    inv = _safe_inv(d)
+    t0 = (gmin[:, None] - o[None]) * inv[None]       # (G, N, 3) — fused
+    t1 = (gmax[:, None] - o[None]) * inv[None]
+    tn = jnp.minimum(t0, t1).max(-1)
+    tf = jnp.maximum(t0, t1).min(-1)
+    enters = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[None, :])
+    gid = jax.lax.broadcasted_iota(jnp.int32, enters.shape, 0)
+    first = jnp.min(jnp.where(enters, gid, G), axis=0)           # (N,)
+    last = jnp.max(jnp.where(enters, gid, -1), axis=0)
+    cnt = jnp.minimum(jnp.sum(enters, axis=0), 63)
+    # primary: the signature; secondary: direction cell + origin morton
+    # so equal-signature runs stay spatially coherent for the gates
+    primary = first * jnp.int32(MAX_GROUPS) + jnp.maximum(last, 0)
+    qd = ((d * 0.5 + 0.5) * 7.999).astype(jnp.int32)
+    lo = jnp.min(gmin, 0)
+    hi = jnp.max(gmax, 0)
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    qi = (q * 31.999).astype(jnp.int32)
+    dcell = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
+    ocell = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
+    secondary = (cnt << 24) | (dcell << 15) | ocell
+    return jnp.lexsort((secondary, primary))
+
+
 def _subrow_mask(cl: Clusters, o, d, tmax):
     """Dense ray x cluster slab test, reduced to a (nsub, G) bool mask:
     does ANY ray of 128-ray sub-row s enter ANY cluster box of group g?
@@ -416,13 +465,49 @@ def _make_kernel(n_groups: int):
     return _kernel
 
 
+def _dispatch_tiles(cl: Clusters, o, d, packed):
+    """Run the Pallas kernel over an explicit packed tile list
+    ((tsub << 16) | tg, dummy tiles carry tg == n_groups). Returns the
+    raw per-block accumulator arrays (4 x ((nb+1)*SUBROWS, 128) int32);
+    blocks none of whose tiles were live are NOT written by the kernel
+    — callers must mask them out."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = o.shape[0]
+    G = cl.n_groups
+    nb = n // BLOCK
+
+    out_spec = pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0))
+    out_shape = jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(packed.shape[0],),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, s: (0, s[i] >> 16)),
+            pl.BlockSpec((16, GROUP * 4 * CSIZE),
+                         lambda i, s: (0, s[i] & 0xFFFF)),
+            pl.BlockSpec((8, 128), lambda i, s: (0, s[i] & 0xFFFF)),
+            pl.BlockSpec((8, GROUP * 128), lambda i, s: (0, s[i] & 0xFFFF)),
+        ],
+        out_specs=[out_spec] * 4,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+    )
+    # ray rows [o|d|0|0]; a dummy sub-row column block for padded tiles
+    odm = jnp.concatenate(
+        [o.T, d.T, jnp.zeros((2, n), o.dtype)], 0)             # (8, N)
+    od_x = jnp.concatenate([odm, jnp.zeros((8, 128), o.dtype)], 1)
+    return pl.pallas_call(
+        _make_kernel(G),
+        grid_spec=grid_spec,
+        out_shape=[out_shape] * 4,
+    )(packed, od_x, cl.w, cl.gbox, cl.cbox)
+
+
 def _closest_key_chunk(cl: Clusters, o, d, tmax):
     """One pallas dispatch over a BLOCK-multiple ray batch whose
     nsub * G fits TILE_BUDGET. Returns (key1, grp1, key2, grp2) in
     batch order — the two best candidate triangles per ray."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     n = o.shape[0]
     G = cl.n_groups
     nb = n // BLOCK
@@ -438,30 +523,7 @@ def _closest_key_chunk(cl: Clusters, o, d, tmax):
     tg = jnp.where(live, tidx % G, G).astype(jnp.int32)
     packed = (tsub << 16) | tg
 
-    out_spec = pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0))
-    out_shape = jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(maxt,),
-        in_specs=[
-            pl.BlockSpec((8, 128), lambda i, s: (0, s[i] >> 16)),
-            pl.BlockSpec((16, GROUP * 4 * CSIZE),
-                         lambda i, s: (0, s[i] & 0xFFFF)),
-            pl.BlockSpec((8, 128), lambda i, s: (0, s[i] & 0xFFFF)),
-            pl.BlockSpec((8, GROUP * 128), lambda i, s: (0, s[i] & 0xFFFF)),
-        ],
-        out_specs=[out_spec] * 4,
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
-    )
-    # ray rows [o|d|0|0]; a dummy sub-row column block for padded tiles
-    odm = jnp.concatenate(
-        [o.T, d.T, jnp.zeros((2, n), o.dtype)], 0)             # (8, N)
-    od_x = jnp.concatenate([odm, jnp.zeros((8, 128), o.dtype)], 1)
-    keys, grps, keys2, grps2 = pl.pallas_call(
-        _make_kernel(G),
-        grid_spec=grid_spec,
-        out_shape=[out_shape] * 4,
-    )(packed, od_x, cl.w, cl.gbox, cl.cbox)
+    keys, grps, keys2, grps2 = _dispatch_tiles(cl, o, d, packed)
 
     # ray blocks that never got a tile are never written by the kernel
     block_dead = jnp.repeat(
@@ -487,18 +549,9 @@ def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
     n0 = o.shape[0]
     G = cl.n_groups
     if sort and n0 >= 4 * BLOCK:
-        # coherence sort: 3-bit-per-axis direction cell then origin
-        # cell, so each 128-ray sub-row touches few clusters (measured
-        # on the 70k bench mesh at 2^20 rays: cluster-level activity
-        # 0.49 -> 0.27 vs the old octant+morton15 key)
-        qd = ((d * 0.5 + 0.5) * 7.999).astype(jnp.uint32)
-        lo = jnp.min(cl.cmin, 0)
-        hi = jnp.max(cl.cmax, 0)
-        q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-        qi = (q * 31.999).astype(jnp.uint32)
-        kd = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
-        ko = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
-        perm = jnp.argsort((kd << 15) | ko)
+        # group-signature coherence sort (see ray_sort_perm): sub-rows
+        # test (nearly) exactly the groups their own rays enter
+        perm = ray_sort_perm(cl, o, d, tmax)
         inv = jnp.zeros((n0,), jnp.int32).at[perm].set(
             jnp.arange(n0, dtype=jnp.int32), unique_indices=True)
         o = o[perm]
@@ -553,6 +606,330 @@ def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
     return key, grp, key2, grp2
 
 
+# --------------------------------------------------------------------------
+# t-ordered group sweep (v6)
+#
+# The dense enumeration above tests EVERY group a ray's sub-row enters;
+# on chord-type workloads a ray enters ~10-20% of all group bboxes while
+# its true hit lies inside the first one or two along the ray (the same
+# asymmetry the reference's kd-tree exploits with front-to-back Havran
+# traversal + early exit, skdtree.cpp:135). The sweep recovers that
+# early exit in dense TPU form:
+#
+#   * rays are sorted once by (first entered group, direction/origin
+#     cell) so the 128 lanes of a sub-row march through nearly the same
+#     group sequence;
+#   * each PASS dispatches exactly one tile per sub-row: the smallest
+#     (t_enter, group) cursor key among the sub-row's lanes. The tile
+#     list is a dense (nsub,) map — no nonzero, no SMEM budget, no
+#     overflow case, grid = nsub;
+#   * after each pass the merged top-2 candidates are re-tested in
+#     exact f32; every verified hit tightens the ray's cull bound, so
+#     groups whose entry t lies behind a VERIFIED hit are never
+#     dispatched (phantom band winners never cull — only exact hits do,
+#     which keeps the sweep unconditionally watertight);
+#   * lanes advance a strictly-increasing per-ray cursor over the
+#     quantised (t_enter | group) total order; after SWEEP_PASSES
+#     passes, any ray with untested in-range groups left is finished by
+#     one dense residual dispatch (lax.cond — rarely taken) bounded by
+#     the verified-hit t.
+#
+# Exactness: a group containing a hit closer than the current verified
+# best has bbox entry t <= that hit's t < bound, so it is never culled;
+# the cursor (or the residual pass) therefore reaches it, and the final
+# candidates are re-tested in exact f32 like the dense path's.
+#
+# STATUS (r4, measured on v5e, 70k bench mesh): correct (2^14-ray
+# cross-check vs brute: 0-1 mismatches) but NOT yet faster than the
+# dense path — inc 0.51M vs 0.52M, coh 0.88M vs 1.37M rays/s at 2^20.
+# probe_sweep2 breakdown: sub-row consensus decays after pass 1 (only
+# ~10%/pass of rays retire), the residual dense pass almost always
+# triggers, and _next_group's (G,N,3) slab reduce is memory-bound.
+# closest_hit/any_hit therefore default to sweep=False until the pass
+# mechanics (per-pass re-sort, multi-tile sub-rows, cursor-aware cheap
+# residual) make it win; the machinery is kept under test.
+
+SWEEP_PASSES = 4
+GKEY_BITS = 14                      # low cursor-key bits hold the group id
+GKEY_MASK = (1 << GKEY_BITS) - 1
+CUR_END = 2147483647                # int32 max: "no further group"
+
+
+def _next_group(cl: Clusters, o, d, cur, bound):
+    """Per-ray smallest untested in-range group, as a packed cursor key
+    (t_enter bits & ~GKEY_MASK) | gid, or CUR_END. Fused reduce over G —
+    the (G, N) map never materializes."""
+    G = cl.n_groups
+    gmin = cl.cmin.reshape(G, GROUP, 3).min(1)
+    gmax = cl.cmax.reshape(G, GROUP, 3).max(1)
+    inv = _safe_inv(d)
+    t0 = (gmin[:, None] - o[None]) * inv[None]
+    t1 = (gmax[:, None] - o[None]) * inv[None]
+    tn = jnp.minimum(t0, t1).max(-1)
+    tf = jnp.maximum(t0, t1).min(-1)
+    enters = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < bound[None, :])
+    tq = jax.lax.bitcast_convert_type(jnp.maximum(tn, 0.0), jnp.int32)
+    gid = jax.lax.broadcasted_iota(jnp.int32, enters.shape, 0)
+    key = (tq & jnp.int32(~jnp.int32(GKEY_MASK))) | gid
+    key = jnp.where(enters & (key > cur[None, :]), key, CUR_END)
+    return jnp.min(key, axis=0)
+
+
+def _merge_top2(a1, ga1, a2, ga2, b1, gb1, b2, gb2):
+    """Associative top-2 merge of packed-key candidate pairs (the XLA
+    mirror of the kernel's accumulator merge)."""
+    take_b = b1 < a1
+    n1 = jnp.where(take_b, b1, a1)
+    ng1 = jnp.where(take_b, gb1, ga1)
+    x = jnp.where(take_b, a1, b1)
+    gx = jnp.where(take_b, ga1, gb1)
+    n2 = jnp.minimum(jnp.minimum(x, a2), b2)
+    ng2 = jnp.where(n2 == x, gx, jnp.where(n2 == a2, ga2, gb2))
+    return n1, ng1, n2, ng2
+
+
+def _verified_t(scene, cl: Clusters, k1, g1, k2, g2, o, d, tmax):
+    """Exact-f32 re-test of both candidates; smallest verified t per
+    ray (MISS_F when neither verifies). Only exactly-verified hits may
+    cull groups in the sweep."""
+    valid1, _, prim1 = _decode_prim(cl, k1, g1)
+    valid2, _, prim2 = _decode_prim(cl, k2, g2)
+    te1, _, _, ok1 = _exact_test(scene, prim1, o, d)
+    te2, _, _, ok2 = _exact_test(scene, prim2, o, d)
+    ok1 &= valid1 & (te1 <= tmax)
+    ok2 &= valid2 & (te2 <= tmax)
+    t = jnp.where(ok1, te1, MISS_F)
+    return jnp.minimum(t, jnp.where(ok2, te2, MISS_F))
+
+
+def closest_key2_sweep(scene, cl: Clusters, o, d, tmax,
+                       passes: int = SWEEP_PASSES, any_mode: bool = False):
+    """Top-2 candidates via the t-ordered sweep. Requires a BLOCK-
+    multiple ray count (callers pad). In any_mode, a single verified
+    hit ends a ray's sweep (shadow-ray semantics)."""
+    n = o.shape[0]
+    nsub = n // 128
+    G = cl.n_groups
+
+    # sort by FIRST-VISITED group (t-order), then direction/origin cell:
+    # sub-row lanes then march through nearly identical group sequences,
+    # so the one-tile-per-sub-row passes resolve whole sub-rows at once
+    first = _next_group(cl, o, d, jnp.full((n,), -1, jnp.int32), tmax)
+    qd = ((d * 0.5 + 0.5) * 7.999).astype(jnp.int32)
+    lo = jnp.min(cl.cmin, 0)
+    hi = jnp.max(cl.cmax, 0)
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    qi = (q * 31.999).astype(jnp.int32)
+    dcell = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
+    ocell = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
+    primary = jnp.where(first == CUR_END, CUR_END,
+                        first & jnp.int32(GKEY_MASK))
+    perm = jnp.lexsort(((dcell << 15) | ocell, primary))
+    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    o = o[perm]
+    d = d[perm]
+    tmax = tmax[perm]
+
+    cur = jnp.full((n,), -1, jnp.int32)
+    bound = tmax
+    k1 = jnp.full((n,), MISS_KEY, jnp.int32)
+    g1 = jnp.zeros((n,), jnp.int32)
+    k2 = jnp.full((n,), MISS_KEY, jnp.int32)
+    g2 = jnp.zeros((n,), jnp.int32)
+    tsub32 = (jnp.arange(nsub, dtype=jnp.int32) << 16)
+
+    for _ in range(passes):
+        cand = _next_group(cl, o, d, cur, bound)               # (N,)
+        skey = cand.reshape(nsub, 128).min(1)                  # (nsub,)
+        gs = jnp.where(skey == CUR_END, G,
+                       skey & jnp.int32(GKEY_MASK)).astype(jnp.int32)
+        packed = tsub32 | gs
+        keys, grps, keys2, grps2 = _dispatch_tiles(cl, o, d, packed)
+        # blocks all of whose sub-rows are done this pass were still
+        # initialised by the kernel (the init branch runs before the
+        # live-tile check), so no dead-block masking is needed here
+        k1, g1, k2, g2 = _merge_top2(
+            k1, g1, k2, g2,
+            keys[:nsub].reshape(-1), grps[:nsub].reshape(-1),
+            keys2[:nsub].reshape(-1), grps2[:nsub].reshape(-1))
+        vt = _verified_t(scene, cl, k1, g1, k2, g2, o, d, tmax)
+        if any_mode:
+            bound = jnp.where(vt < MISS_F, 0.0, tmax)
+        else:
+            bound = jnp.minimum(tmax, vt * (1.0 + 2.0 ** -11) + 1e-6)
+        # advance lanes whose own next group was this pass's tile group
+        adv = (cand != CUR_END) \
+            & ((cand & jnp.int32(GKEY_MASK))
+               == jnp.repeat(gs, 128))
+        cur = jnp.where(adv, cand, cur)
+
+    # residual: rays with untested in-range groups left (rare) get one
+    # dense bounded dispatch; re-testing an already-tested group is
+    # harmless (idempotent top-2 merge)
+    cand = _next_group(cl, o, d, cur, bound)
+
+    def _residual(args):
+        k1, g1, k2, g2 = args
+        r1, rg1, r2, rg2 = closest_key2(cl, o, d, bound, sort=False)
+        return _merge_top2(k1, g1, k2, g2, r1, rg1, r2, rg2)
+
+    k1, g1, k2, g2 = jax.lax.cond(
+        jnp.any(cand != CUR_END), _residual, lambda a: a, (k1, g1, k2, g2))
+
+    return (k1[inv_perm], g1[inv_perm], k2[inv_perm], g2[inv_perm])
+
+
+# --------------------------------------------------------------------------
+# pair-explicit dispatch (v7)
+#
+# The dense enumeration's unit of work is a (128-ray sub-row x group)
+# tile: all 128 lanes test the tile's group whether or not they enter
+# it, so lane efficiency equals the sub-rows' group-set coherence
+# (measured 2-8x waste even after signature sorting). v7 materializes
+# the exact (ray, group) PAIR list instead: nonzero over the fused
+# (G, N) group-slab mask (group-major, so consecutive pairs share a
+# group), pads each group's run to 128-pair tiles, gathers the pair
+# rays into a dense (8, P) od matrix — and then reuses THE SAME Pallas
+# kernel byte for byte (a pair tile is just a "sub-row" whose 128 rays
+# all genuinely enter the tile's group; the packed (tile<<16|group)
+# prefetch word, BlockSpecs, and accumulator layout are unchanged).
+# Per-pair top-2 candidates come back in tile order; the decode
+# exact-tests them (as the dense path does) and reduces per ray with
+# f32 scatter-mins. Expected from the r4 on-chip calibration
+# (tools/probe_overheads.py: ~6.5us per live tile, pairs/ray measured
+# 2.1-2.4 on the 70k bench mesh): ~3-4x over the dense path on both
+# coherent and incoherent rays.
+#
+# The pair list is capped at PAIRS_PER_RAY * N per dispatch; a batch
+# whose true pair count exceeds the cap falls back to the dense path
+# via lax.cond (exactness is never data-dependent).
+
+PAIRS_PER_RAY = 8
+PAIR_CHUNK = 1 << 18          # rays per pair dispatch (tile-id headroom)
+
+
+def _pair_mask_counts(cl: Clusters, o, d, tmax):
+    """(G, N) group-slab entry mask (fused) + per-group counts."""
+    G = cl.n_groups
+    gmin = cl.cmin.reshape(G, GROUP, 3).min(1)
+    gmax = cl.cmax.reshape(G, GROUP, 3).max(1)
+    inv = _safe_inv(d)
+    t0 = (gmin[:, None] - o[None]) * inv[None]
+    t1 = (gmax[:, None] - o[None]) * inv[None]
+    tn = jnp.minimum(t0, t1).max(-1)
+    tf = jnp.maximum(t0, t1).min(-1)
+    mask = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[None, :])
+    return mask, jnp.sum(mask, axis=1)
+
+
+def _pair_chunk(scene, cl: Clusters, o, d, tmax):
+    """One pair-explicit dispatch over <= PAIR_CHUNK rays. Returns the
+    per-ray Intersection fields (valid, t, prim, b1, b2)."""
+    n = o.shape[0]
+    G = cl.n_groups
+    p_cap = PAIRS_PER_RAY * n
+    p_pad = -(-(p_cap + 128 * G) // BLOCK) * BLOCK
+    ntiles = p_pad // 128
+
+    mask, counts = _pair_mask_counts(cl, o, d, tmax)          # (G,N),(G,)
+    total = jnp.sum(counts)
+
+    def pair_path(_):
+        (nz,) = jnp.nonzero(mask.reshape(-1), size=p_cap,
+                            fill_value=G * n)
+        live = nz < G * n
+        g_of = (nz // n).astype(jnp.int32)
+        ray_of = (nz % n).astype(jnp.int32)
+        up_off = jnp.concatenate(
+            [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+        pad_counts = -(-counts // 128) * 128
+        pd_end = jnp.cumsum(pad_counts)
+        pd_off = pd_end - pad_counts
+        rank = jnp.arange(p_cap, dtype=jnp.int32) \
+            - up_off[jnp.minimum(g_of, G - 1)].astype(jnp.int32)
+        slot = jnp.where(live,
+                         pd_off[jnp.minimum(g_of, G - 1)].astype(jnp.int32)
+                         + rank, p_pad)
+        pair_ray = jnp.full((p_pad,), n, jnp.int32) \
+            .at[slot].set(ray_of, mode="drop")
+        # tile -> group (tiles beyond the last padded run are dummies)
+        tile_start = jnp.arange(ntiles, dtype=counts.dtype) * 128
+        tile_g = jnp.searchsorted(pd_end, tile_start, side="right") \
+            .astype(jnp.int32)
+        tile_g = jnp.where(tile_start < pd_end[-1], tile_g, G)
+        packed = (jnp.arange(ntiles, dtype=jnp.int32) << 16) | tile_g
+
+        # gather pair rays (dummy lanes: origin far away, tmax 0)
+        pr = jnp.minimum(pair_ray, n - 1)
+        dead = pair_ray >= n
+        o_p = jnp.where(dead[:, None], 1.0e7, o[pr])
+        d_p = jnp.where(dead[:, None],
+                        jnp.asarray([1.0, 0.0, 0.0], d.dtype), d[pr])
+        tm_p = jnp.where(dead, 0.0, tmax[pr])
+
+        keys, grps, keys2, grps2 = _dispatch_tiles(cl, o_p, d_p, packed)
+        nsub_p = p_pad // 128
+        k1 = keys[:nsub_p].reshape(-1)
+        g1 = grps[:nsub_p].reshape(-1)
+        k2 = keys2[:nsub_p].reshape(-1)
+        g2 = grps2[:nsub_p].reshape(-1)
+        # range bound + exact per-pair resolution (shared with dense)
+        tmax_key = (jax.lax.bitcast_convert_type(tm_p, jnp.int32)
+                    & jnp.int32(~jnp.int32(LANE_BITS))) \
+            | jnp.int32(LANE_BITS)
+        k1 = jnp.where(k1 <= tmax_key, k1, MISS_KEY)
+        k2 = jnp.where(k2 <= tmax_key, k2, MISS_KEY)
+        its_p = _finalize_closest(scene, cl, k1, jnp.maximum(g1, 0),
+                                  k2, jnp.maximum(g2, 0), o_p, d_p, tm_p)
+        pv = its_p.valid & ~dead
+        tp = jnp.where(pv, its_p.t, MISS_F)
+        # per-ray reduction: f32 scatter-min, then recover the winner
+        t_best = jnp.full((n,), MISS_F).at[pair_ray] \
+            .min(tp, mode="drop")
+        is_best = pv & (tp == t_best[pr])
+        prim = jnp.zeros((n,), jnp.int32).at[pair_ray] \
+            .max(jnp.where(is_best, its_p.prim, -1), mode="drop")
+        b1 = jnp.zeros((n,)).at[pair_ray] \
+            .max(jnp.where(is_best, its_p.b1, -1.0), mode="drop")
+        b2 = jnp.zeros((n,)).at[pair_ray] \
+            .max(jnp.where(is_best, its_p.b2, -1.0), mode="drop")
+        valid = t_best < MISS_F
+        return (valid, jnp.where(valid, t_best, I.MISS),
+                jnp.maximum(prim, 0), jnp.maximum(b1, 0.0),
+                jnp.maximum(b2, 0.0))
+
+    def dense_path(_):
+        its = _finalize_closest(
+            scene, cl, *closest_key2(cl, o, d, tmax), o, d, tmax)
+        return (its.valid, its.t, its.prim, its.b1, its.b2)
+
+    return jax.lax.cond(total <= p_cap, pair_path, dense_path, 0)
+
+
+def closest_hit_pairs(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
+    """Pair-explicit closest hit (v7) — the default binned entry point."""
+    n0 = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n0,), jnp.float32(3e37))
+    parts = []
+    for i in range(0, n0, PAIR_CHUNK):
+        sl = slice(i, min(i + PAIR_CHUNK, n0))
+        parts.append(_pair_chunk(scene, cl, o[sl], d[sl], tmax[sl]))
+    if len(parts) == 1:
+        valid, t, prim, b1, b2 = parts[0]
+    else:
+        valid, t, prim, b1, b2 = (
+            jnp.concatenate([p[k] for p in parts]) for k in range(5))
+    return I.Intersection(valid=valid, t=t, prim=prim, b1=b1, b2=b2)
+
+
+def any_hit_pairs(scene, cl: Clusters, o, d, tmax) -> jax.Array:
+    its = closest_hit_pairs(scene, cl, o, d,
+                            tmax * (1.0 - I.SHADOW_EPS))
+    return its.valid
+
+
 def _decode_prim(cl: Clusters, key, grp):
     """(key, grp) -> (kernel-valid, quantised t, triangle id)."""
     t = jax.lax.bitcast_convert_type(
@@ -583,11 +960,34 @@ def _exact_test(scene, prim, o, d):
     return t, b1, b2, ok
 
 
-def closest_hit(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
-    n = o.shape[0]
+def closest_hit(scene, cl: Clusters, o, d, tmax=None,
+                sweep: bool = False) -> I.Intersection:
+    n0 = o.shape[0]
     if tmax is None:
-        tmax = jnp.full((n,), jnp.float32(3e37))
-    k1, g1, k2, g2 = closest_key2(cl, o, d, tmax)
+        tmax = jnp.full((n0,), jnp.float32(3e37))
+    if sweep and n0 >= 4 * BLOCK:
+        n = -(-n0 // BLOCK) * BLOCK
+        o_p, d_p, tmax_p = _pad_rays(o, d, tmax, n)
+        k1, g1, k2, g2 = closest_key2_sweep(scene, cl, o_p, d_p, tmax_p)
+        k1, g1, k2, g2 = k1[:n0], g1[:n0], k2[:n0], g2[:n0]
+    else:
+        k1, g1, k2, g2 = closest_key2(cl, o, d, tmax)
+    return _finalize_closest(scene, cl, k1, g1, k2, g2, o, d, tmax)
+
+
+def _pad_rays(o, d, tmax, n):
+    n0 = o.shape[0]
+    if n == n0:
+        return o, d, tmax
+    return (jnp.concatenate([o, jnp.ones((n - n0, 3), o.dtype)]),
+            jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], d.dtype),
+                                     (n - n0, 3))]),
+            jnp.concatenate([tmax, jnp.zeros((n - n0,), tmax.dtype)]))
+
+
+def _finalize_closest(scene, cl: Clusters, k1, g1, k2, g2,
+                      o, d, tmax) -> I.Intersection:
     valid1, tq1, prim1 = _decode_prim(cl, k1, g1)
     valid2, _, prim2 = _decode_prim(cl, k2, g2)
     # the packed key spends its low 10 mantissa bits on the slot id and
@@ -616,9 +1016,18 @@ def closest_hit(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
                           b2=jnp.where(valid, b2, 0.0))
 
 
-def any_hit(scene, cl: Clusters, o, d, tmax) -> jax.Array:
+def any_hit(scene, cl: Clusters, o, d, tmax,
+            sweep: bool = False) -> jax.Array:
+    n0 = o.shape[0]
     limit = tmax * (1.0 - I.SHADOW_EPS)
-    k1, g1, k2, g2 = closest_key2(cl, o, d, limit)
+    if sweep and n0 >= 4 * BLOCK:
+        n = -(-n0 // BLOCK) * BLOCK
+        o_p, d_p, lim_p = _pad_rays(o, d, limit, n)
+        k1, g1, k2, g2 = closest_key2_sweep(scene, cl, o_p, d_p, lim_p,
+                                            any_mode=True)
+        k1, g1, k2, g2 = k1[:n0], g1[:n0], k2[:n0], g2[:n0]
+    else:
+        k1, g1, k2, g2 = closest_key2(cl, o, d, limit)
     valid1, _, prim1 = _decode_prim(cl, k1, g1)
     valid2, _, prim2 = _decode_prim(cl, k2, g2)
     # exact re-test so a phantom near-miss cannot cast a shadow

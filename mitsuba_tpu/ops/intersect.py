@@ -475,8 +475,6 @@ def surface_interaction(scene, o, d, its: Intersection,
     path defers them so its hot loop carries only a packed (t, prim) key).
     """
     from .gather import fetch_packed
-
-    p = o + its.t[:, None] * d
     # single fused per-face fetch (one-hot matmul for small scenes: the MXU
     # is ~20x faster than row gathers here — see ops/gather.py)
     vi = scene.indices
@@ -510,6 +508,23 @@ def surface_interaction(scene, o, d, its: Intersection,
     b1 = jnp.clip(jnp.sum(tv * pv, axis=-1) * inv_det, 0.0, 1.0)
     qv = jnp.cross(tv, e1)
     b2 = jnp.clip(jnp.sum(d * qv, axis=-1) * inv_det, 0.0, 1.0)
+
+    # Differentiable hit distance: the intersector's t comes out of a
+    # stop-gradient'd (and possibly bit-quantised) search key, so vertex-
+    # position gradients through the hit POINT would otherwise be dropped.
+    # Recompute t from the winning triangle's plane (Moller-Trumbore) and
+    # attach only its DERIVATIVE to its.t (zero-primal trick: primal images
+    # stay bit-identical to the search result, d(t)/d(vertices) flows).
+    t_mt = jnp.sum(e2 * qv, axis=-1) * inv_det
+    t_ok = its.valid & ~bad
+    t_attach = jnp.where(t_ok, t_mt, its.t)
+    t_diff = its.t + (t_attach - jax.lax.stop_gradient(t_attach))
+    # invalid lanes carry t = INF; cap the position used for shading so
+    # masked-out downstream math (NEE dist^2, MIS pdf ratios) stays
+    # finite — an inf/nan primal in a masked lane would otherwise leak
+    # NaN into reverse-mode via 0 * nan cotangents (scene scale << 1e6)
+    t_pos = jnp.where(its.valid, t_diff, 1.0e6)
+    p = o + t_pos[:, None] * d
     # trust intersector-provided barycentrics when present (BVH path)
     has_bary = (its.b1 + its.b2) != 0.0
     b1 = jnp.where(has_bary, its.b1, b1)

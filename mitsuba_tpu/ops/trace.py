@@ -7,11 +7,12 @@ with a hardware-aware policy:
     chasing is fine on a scalar core), VPU brute otherwise.
   * TPU backend: the fused MXU brute kernel up to PALLAS_BRUTE_MAX_TRIS
     (tiny scenes: zero orchestration, Cornell runs 149M rays/s), then
-    the block-coherent binned intersector (ops/binned_intersect.py) —
-    measured 5.4M rays/s at 70k tris and 3.2M at 262k vs 0.43M brute
-    and 0.01M for the gather-bound BVH walk (random per-lane gathers
+    the block-coherent binned intersector (ops/binned_intersect.py).
+    Value-fetch-synced numbers are kept in BASELINE.md's round tables
+    (do not quote block_until_ready timings on the tunneled backend);
+    the BVH walk measures ~0.01M rays/s here — random per-lane gathers
     inside while_loop bodies are the TPU's weakest operation, dense MXU
-    passes its strongest).
+    passes its strongest — so it is kept only for the CPU backend.
 
 This is the round-2 measured answer to SURVEY §2.2's ShapeKDTree: on this
 hardware the systolic array beats tree pointer-chasing for any scene whose
@@ -35,7 +36,7 @@ def _prefer_brute(scene) -> bool:
 def closest_hit(scene, o: jax.Array, d: jax.Array, tmax=None) -> _isect.Intersection:
     if scene.bvh is not None and not _prefer_brute(scene):
         if jax.default_backend() != "cpu" and scene.clusters is not None:
-            # large meshes on TPU: two-phase binned MXU (27x over the walk)
+            # large meshes on TPU: two-phase binned MXU
             from . import binned_intersect
             return binned_intersect.closest_hit(
                 scene, scene.clusters, o, d, tmax)

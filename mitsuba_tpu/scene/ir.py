@@ -271,6 +271,18 @@ class Scene:
 
     # (V,3) per-vertex colors for TEX_VERTEXCOLOR materials (None = absent)
     vertex_colors: Any = None
+
+    # (T,3) int32 face adjacency: neighbor face across edge slot k =
+    # (i_k, i_{k+1}), -1 for open (boundary) edges. Consumed by the
+    # warped-area reparameterization's silhouette-edge boundary test
+    # (integrators/reparam.py); cheap to build, so always present.
+    face_adj: Any = None
+    # (E,5) int32 unique-edge table [v0, v1, face, nbr_face|-1, opp_vert]:
+    # one row per undirected mesh edge (shared edges deduped to the
+    # lower-id face). opp_vert = the owning face's third vertex, used to
+    # orient the silhouette normal. Consumed by the edge-sampling
+    # boundary-gradient estimator (integrators/boundary.py).
+    edge_table: Any = None
     # (7,) wireframe params [interior rgb, edge rgb, bary line width]
     wire_params: Any = None
 
@@ -493,9 +505,36 @@ def build_scene(
     tri_opaque_np = mat_types[np.clip(tri_material, 0, len(mat_types) - 1)] \
         != BSDF_NULL
 
+    # face adjacency across shared (undirected) edges, -1 = open edge:
+    # edge slot k of face f spans (indices[f,k], indices[f,(k+1)%3])
+    edge_v = np.stack([indices[:, [0, 1]], indices[:, [1, 2]],
+                       indices[:, [2, 0]]], axis=1).reshape(-1, 2)
+    ekey = np.sort(edge_v, axis=1)
+    order = np.lexsort((ekey[:, 1], ekey[:, 0]))
+    sk = ekey[order]
+    same = np.all(sk[1:] == sk[:-1], axis=1)
+    face_adj_flat = np.full((3 * T,), -1, np.int32)
+    a = order[:-1][same]
+    b = order[1:][same]
+    face_adj_flat[a] = b // 3
+    face_adj_flat[b] = a // 3
+
+    # unique-edge table for the boundary-gradient estimator: keep a
+    # slot-edge iff it is open or its face id is the lower of the pair
+    slot_face = np.repeat(np.arange(T, dtype=np.int32), 3)
+    keep = (face_adj_flat < 0) | (slot_face < face_adj_flat)
+    slot_in_face = np.tile(np.arange(3, dtype=np.int32), T)
+    opp_slot = (slot_in_face + 2) % 3    # vertex not on edge (k, k+1)
+    opp_vert = indices[slot_face, opp_slot]
+    edge_table = np.stack(
+        [edge_v[keep, 0], edge_v[keep, 1], slot_face[keep],
+         face_adj_flat[keep], opp_vert[keep]], axis=1).astype(np.int32)
+
     return Scene(
         vertices=jnp.asarray(vertices),
         indices=jnp.asarray(indices),
+        face_adj=jnp.asarray(face_adj_flat.reshape(T, 3)),
+        edge_table=jnp.asarray(edge_table),
         normals=jnp.asarray(normals.astype(np.float32)),
         uvs=jnp.asarray(uvs.astype(np.float32)),
         tri_material=jnp.asarray(tri_material),

@@ -1,23 +1,29 @@
-"""Procedural sun / sky / sunsky emitters (Preetham analytic daylight).
+"""Procedural sun / sky / sunsky emitters (analytic daylight models).
 
 TPU-native analog of src/emitters/{sky,sun,sunsky}.cpp: like the
 reference, the procedural model is *baked into a lat-long environment
 map* at scene-build time (sky.cpp configure() renders the model into a
 bitmap at `resolution`), so at render time the sky is ordinary envmap
 data with CDF importance sampling — no per-ray transcendental model
-evaluation on device. The reference uses the Preetham et al. 1999
-analytic model for both the sky dome and the solar disk attenuation;
-this module implements the same model broadband (RGB via CIE Yxy) rather
-than spectrally.
+evaluation on device.
+
+Sky-dome model: the reference's sky.cpp evaluates the Hosek-Wilkie 2012
+model (sky.cpp:246-274 via sunsky/skymodel.h), NOT Preetham — this
+module's dome is Preetham et al. 1999, which is a measurably different
+radiance distribution (see `hosek.py` for the Hosek-Wilkie dome). The
+*solar disk* uses Preetham's sun attenuation data in both the reference
+(sunmodel.h:247) and here. RGB (CIE Yxy) rather than spectral, matching
+the repo's RGB build mode.
 
 Units: luminance is carried in kcd/m^2 (zenith luminance of a clear sky
 is ~5-10 in these units, the solar disk ~1.6e6), converted to RGB
 through CIE XYZ. `scale` multiplies the result, matching the reference's
 `scale` parameter.
 
-Omissions vs the reference (documented gaps): spectral rendering,
-ground albedo coupling, and the date/time/lat-long solar-position
-calculator — pass `sun_direction` explicitly instead.
+The date/time/lat-long PSA solar-position calculator is implemented
+below (`sun_position_psa`) and wired into the XML loader; passing
+`sun_direction` explicitly overrides it. Remaining documented gaps vs
+the reference: spectral sky channels.
 """
 from __future__ import annotations
 
@@ -172,15 +178,38 @@ def bake_sun(img, sun_dir, turbidity=3.0, scale=1.0, radius_scale=1.0):
 
 
 def bake(kind, sun_dir=(0.0, 0.7071, 0.7071), turbidity=3.0, scale=1.0,
-         resolution=512, sun_radius_scale=1.0):
+         resolution=512, sun_radius_scale=1.0, sky_model="hosek",
+         albedo=0.2):
     """Bake a `sky`, `sun`, or `sunsky` emitter into an (H, W, 3) float32
-    lat-long radiance map (H = resolution//2, W = resolution)."""
+    lat-long radiance map (H = resolution//2, W = resolution).
+
+    sky_model: "hosek" (the Hosek-Wilkie 2012 model the reference's
+    sky.cpp actually evaluates — models/hosek.py, validated against the
+    authors' published implementation) or "preetham" (this module's
+    Preetham 1999 dome, kept as an option). albedo: ground albedo of
+    the Hosek model (scalar or RGB), sky.cpp's `albedo` parameter."""
     w = int(resolution)
     h = max(w // 2, 2)
     img = np.zeros((h, w, 3), np.float64)
     if kind in ("sky", "sunsky"):
         d, _ = _latlong_dirs(h, w)
-        img += sky_radiance_rgb(d, sun_dir, turbidity) * scale
+        if sky_model == "hosek":
+            from . import hosek
+            # unit bridge: hosek.sky_radiance_rgb carries the reference's
+            # own convention (tristimulus / sum(CIE Y) = flat-spectrum-
+            # equivalent W/m^2/sr/nm, sky.cpp:434); this module's maps are
+            # in kcd/m^2 (the Preetham/sun convention the rest of the
+            # bake shares). A flat spectrum of 1 W/m^2/sr/nm has
+            # luminance 683 lm/W * integral(CIE y) 106.857 nm / 1000
+            # = 72.98 kcd/m^2. Dome DISTRIBUTION is exactly the
+            # reference's (validated vs the published implementation).
+            kcd_bridge = 683.0 * 106.856980 / 1000.0
+            img += hosek.sky_radiance_rgb(d, sun_dir, turbidity,
+                                          albedo) * (scale * kcd_bridge)
+        elif sky_model == "preetham":
+            img += sky_radiance_rgb(d, sun_dir, turbidity) * scale
+        else:
+            raise ValueError(f"unknown sky_model '{sky_model}'")
     if kind in ("sun", "sunsky"):
         bake_sun(img, sun_dir, turbidity, scale, sun_radius_scale)
     return img.astype(np.float32)

@@ -1260,6 +1260,7 @@ def _process_children(root, ld, subst, base_dir):
                         timezone=float(p.get("timezone", 9.0)))
                 else:
                     sd = np.asarray([0.0, 0.7071, 0.7071])
+                alb_sky = p.get("albedo", 0.2)
                 data = sunskylib.bake(
                     typ,
                     sun_dir=np.asarray(sd, np.float64),
@@ -1267,6 +1268,11 @@ def _process_children(root, ld, subst, base_dir):
                     scale=float(p.get("scale", 1.0)),
                     resolution=int(p.get("resolution", 512)),
                     sun_radius_scale=float(p.get("sunRadiusScale", 1.0)),
+                    # the reference evaluates Hosek-Wilkie (sky.cpp:246);
+                    # skyModel="preetham" selects the legacy dome
+                    sky_model=str(p.get("skyModel", "hosek")),
+                    albedo=(np.asarray(alb_sky, np.float64)
+                            if not np.isscalar(alb_sky) else float(alb_sky)),
                 )
                 ld.env_radiance = None
                 ld.cfg_kw.setdefault("_envmap", data)

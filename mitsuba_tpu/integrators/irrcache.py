@@ -74,13 +74,25 @@ def build_cache(scene, cfg: RenderConfig, n_points: int = 4096,
     ngv = jnp.cross(e1[tri], e2[tri])
     nrm = ngv / m.length(ngv, keepdims=True)
 
-    # hemispherical gather: K cosine rays per cache point
+    # hemispherical gather: K cosine rays per cache point. Alongside E
+    # we estimate the Ward-Heckbert IRRADIANCE GRADIENTS (the reference
+    # cache's accuracy feature, irrcache.h:148) in MC form:
+    #   rotational: dE/d(rot about a) = (pi/N) sum L_k (a.(n x w_k))/cos
+    #     (differentiating the (n.w) weight of the fixed sample set);
+    #   translational: differentiate the area-form measure factor
+    #     (n.w) cos_y / r^2 of each sample's FIXED hit point y_k:
+    #     grad factor g_k = 4w/r - n/(r cos) + n_y/(r cos_y)
+    #     (cosines clamped to 0.1 against grazing blowup).
+    # Interpolation then extrapolates each record first-order in both
+    # position and normal, the same first-order model the reference uses.
     E = jnp.zeros((n_points, 3))
+    g_rot = jnp.zeros((n_points, 3, 3))    # (point, channel, axis)
+    g_tr = jnp.zeros((n_points, 3, 3))
     inv_dist = jnp.zeros((n_points,))
     hits_n = jnp.zeros((n_points,))
 
     def body(carry, k):
-        E, inv_dist, hits_n = carry
+        E, g_rot, g_tr, inv_dist, hits_n = carry
         uu = jnp.stack([u(10 + 4 * k), u(11 + 4 * k)], -1)
         local = warp.square_to_cosine_hemisphere(uu)
         d = m.to_world(nrm, local)
@@ -96,18 +108,30 @@ def build_cache(scene, cfg: RenderConfig, n_points: int = 4096,
         # gather radiance back toward the cache point: diffuse-ish
         # approximation L_out ~ albedo/pi * E_direct (the cache stores
         # one-bounce indirect; emitter hits contribute nothing)
-        L = ld
-        L = jnp.where(its.valid[:, None], L, 0.0)
+        L = jnp.where(its.valid[:, None], ld, 0.0)
         # cosine pdf cancels the cosine: E += pi * mean(L)
         E = E + L
+        cos_l = jnp.maximum(jnp.sum(d * nrm, -1), 0.1)
+        axis = jnp.cross(nrm, d) / cos_l[:, None]              # (N,3)
+        g_rot = g_rot + L[:, :, None] * axis[:, None, :]
+        r_k = jnp.maximum(its.t, 1e-3)
+        cos_y = jnp.maximum(-jnp.sum(d * si["ng"], -1), 0.1)
+        gfac = (4.0 * d / r_k[:, None]
+                - nrm / (r_k * cos_l)[:, None]
+                + si["ng"] / (r_k * cos_y)[:, None])
+        gfac = jnp.where(its.valid[:, None], gfac, 0.0)
+        g_tr = g_tr + L[:, :, None] * gfac[:, None, :]
         inv_dist = inv_dist + jnp.where(its.valid, 1.0 / jnp.maximum(
             its.t, 1e-4), 0.0)
         hits_n = hits_n + its.valid
-        return (E, inv_dist, hits_n), None
+        return (E, g_rot, g_tr, inv_dist, hits_n), None
 
-    (E, inv_dist, hits_n), _ = jax.lax.scan(
-        body, (E, inv_dist, hits_n), jnp.arange(n_hemi, dtype=jnp.uint32))
+    (E, g_rot, g_tr, inv_dist, hits_n), _ = jax.lax.scan(
+        body, (E, g_rot, g_tr, inv_dist, hits_n),
+        jnp.arange(n_hemi, dtype=jnp.uint32))
     E = E * (jnp.pi / n_hemi)
+    g_rot = g_rot * (jnp.pi / n_hemi)
+    g_tr = g_tr * (jnp.pi / n_hemi)
     # harmonic mean distance; open hemispheres get a large R
     R = jnp.where(hits_n > 0, hits_n / jnp.maximum(inv_dist, 1e-6), 1e6)
     # clamp R to sane bounds relative to the scene size
@@ -115,22 +139,29 @@ def build_cache(scene, cfg: RenderConfig, n_points: int = 4096,
     R = jnp.clip(R, 0.01 * diag, 0.5 * diag)
     cell = 0.1 * diag
     grid = hashgrid.build(pos, jnp.ones((n_points,), bool), cell)
-    return pos, nrm, E, R, grid, cell
+    return pos, nrm, E, R, grid, cell, g_rot, g_tr
 
 
 def interpolate(cache, p, n):
-    """Ward-weighted irradiance lookup at (p, n)."""
-    pos, nrm, E, R, grid, cell = cache
+    """Ward-weighted irradiance lookup at (p, n) with first-order
+    gradient extrapolation (irrcache.h:148): each record contributes
+    E_i + (n_i x n).G_rot,i + (p - p_i).G_tr,i."""
+    pos, nrm, E, R, grid, cell, g_rot, g_tr = cache
 
     def reduce_fn(carry, pidx, mask):
         acc_e, acc_w = carry
-        dvec = pos[pidx] - p[:, None, :]
+        dvec = p[:, None, :] - pos[pidx]
         dist = jnp.linalg.norm(dvec, axis=-1)
         ndot = jnp.clip(jnp.sum(nrm[pidx] * n[:, None, :], -1), -1.0, 1.0)
         w = 1.0 / (dist / R[pidx] + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0))
                    + 1e-3)
         w = jnp.where(mask & (ndot > 0.1), w, 0.0)
-        acc_e = acc_e + jnp.einsum("qw,qwc->qc", w, E[pidx])
+        rot_axis = jnp.cross(nrm[pidx], n[:, None, :])     # (q,w,3)
+        e_ext = (E[pidx]
+                 + jnp.einsum("qwca,qwa->qwc", g_rot[pidx], rot_axis)
+                 + jnp.einsum("qwca,qwa->qwc", g_tr[pidx], dvec))
+        e_ext = jnp.maximum(e_ext, 0.0)
+        acc_e = acc_e + jnp.einsum("qw,qwc->qc", w, e_ext)
         acc_w = acc_w + jnp.sum(w, -1)
         return acc_e, acc_w
 

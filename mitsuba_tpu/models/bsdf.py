@@ -64,6 +64,14 @@ def gather_shade_point(scene, mat: jax.Array, uv: jax.Array,
     if int(jnp.ndim(mat)) and ir.BSDF_BLEND in scene.bsdf_families:
         is_blend = mats.type[mat] == ir.BSDF_BLEND
         wgt = mats.extra[mat, 0]
+        # textured blend weight = mask.cpp's textured opacity: the blend
+        # row's tex_reflectance slot (unused otherwise) holds the map
+        btex = jnp.where(is_blend, mats.tex_reflectance[mat], -1)
+        if scene.textures.shape[0] > 1 or scene.textures.shape[1] > 1:
+            wtex = tex.resolve(scene, btex, uv,
+                               jnp.broadcast_to(wgt[..., None],
+                                                (*wgt.shape, 3)))
+            wgt = jnp.mean(wtex, axis=-1)
         pick = (u_blend if u_blend is not None
                 else jnp.full(mat.shape, 0.5)) < wgt
         child = jnp.where(pick, mats.nested[mat, 0], mats.nested[mat, 1])

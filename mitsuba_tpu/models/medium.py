@@ -392,16 +392,32 @@ def sample_distance(med: Medium, u_chan: jax.Array, u_dist: jax.Array,
     channels (the reference picks a channel uniformly; we do the same and
     use the channel-average pdf -> unbiased with lower variance).
     """
+    # DETACHED sampling (differentiability): the flight distance, the
+    # medium/surface event split, and the pdf are computed from
+    # stop-gradient sigma_t, while the numerator (Tr * sigma_s) stays
+    # attached. With attached sampling the per-sample event switch
+    # t < t_surface is DISCONTINUOUS in sigma_t and pathwise AD drops
+    # its boundary term (measured ~3.5x-low sigma_t gradients); with a
+    # detached pdf the estimator is sum_events int num(sigma)/p * p =
+    # int num, so d/dsigma = int d(num) — unbiased, no boundary terms
+    # (the standard detached strategy of differentiable volume
+    # rendering). The pdf is a pure importance weight, so the primal is
+    # unchanged.
+    sg = jax.lax.stop_gradient
+    sig_d = sg(med.sigma_t)
     c = jnp.minimum((u_chan * 3).astype(jnp.int32), 2)
-    sig_c = med.sigma_t[c]
+    sig_c = sig_d[c]
     t = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-38)) / jnp.maximum(sig_c, 1e-20)
     is_medium = t < t_surface
     tr_t = jnp.exp(-med.sigma_t[None, :] * t[:, None])
-    tr_s = jnp.exp(-med.sigma_t[None, :] * t_surface[:, None])
-    # pdfs averaged over channel choice
-    pdf_medium = jnp.mean(med.sigma_t[None, :] * tr_t, axis=-1)
-    pdf_surface = jnp.mean(tr_s, axis=-1)
+    # miss lanes carry t_surface ~ 1e30; clamp the ATTACHED exponent so
+    # its adjoint (-t * exp(-sigma t)) stays finite (weight is 0 anyway)
+    tr_s = jnp.exp(-jnp.minimum(med.sigma_t[None, :]
+                                * t_surface[:, None], 80.0))
+    pdf_medium = jnp.mean(sig_d[None, :] * sg(tr_t), axis=-1)
+    pdf_surface = jnp.mean(sg(tr_s), axis=-1)
     sigma_s = med.sigma_t * med.albedo
-    w_med = tr_t * sigma_s[None, :] / jnp.maximum(pdf_medium, 1e-30)[:, None]
-    w_surf = tr_s / jnp.maximum(pdf_surface, 1e-30)[:, None]
+    w_med = tr_t * sigma_s[None, :] \
+        * (1.0 / jnp.maximum(pdf_medium, 1e-30))[:, None]
+    w_surf = tr_s * (1.0 / jnp.maximum(pdf_surface, 1e-30))[:, None]
     return t, is_medium, w_med, w_surf

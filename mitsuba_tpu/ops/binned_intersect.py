@@ -426,6 +426,11 @@ def _make_kernel(n_groups: int):
                     slot = j * CSIZE + lanes
                     key = (jax.lax.bitcast_convert_type(t, jnp.int32)
                            & jnp.int32(~jnp.int32(LANE_BITS))) | slot
+                    # NOTE (r4): a per-column running top-2 with one
+                    # final cross-lane reduction was tried and is SLOWER
+                    # (+25%): the (128,128) scratch read+write per
+                    # cluster costs more than the two per-cluster row
+                    # reductions it saves. Keep the row-accumulator form.
                     c1 = jnp.min(key, axis=1)
                     c2 = jnp.min(jnp.where(key == c1[:, None],
                                            jnp.int32(MISS_KEY), key),
@@ -805,21 +810,23 @@ def closest_key2_sweep(scene, cl: Clusters, o, d, tmax,
 # whose true pair count exceeds the cap falls back to the dense path
 # via lax.cond (exactness is never data-dependent).
 
-PAIRS_PER_RAY = 8
-PAIR_CHUNK = 1 << 18          # rays per pair dispatch (tile-id headroom)
+PAIRS_PER_RAY = 12            # measured: 9.6/ray incoherent chords @70k
+PAIR_CHUNK = 1 << 17          # rays per pair dispatch (tile-id headroom)
 
 
 def _pair_mask_counts(cl: Clusters, o, d, tmax):
-    """(G, N) group-slab entry mask (fused) + per-group counts."""
+    """(G, N) pair mask at CLUSTER granularity (a ray pairs with group g
+    iff it enters one of g's cluster boxes — the group bbox alone is
+    ~5x looser on the bench mesh: 11.7 vs 2.4 pairs/ray) + counts."""
     G = cl.n_groups
-    gmin = cl.cmin.reshape(G, GROUP, 3).min(1)
-    gmax = cl.cmax.reshape(G, GROUP, 3).max(1)
+    n = o.shape[0]
     inv = _safe_inv(d)
-    t0 = (gmin[:, None] - o[None]) * inv[None]
-    t1 = (gmax[:, None] - o[None]) * inv[None]
+    t0 = (cl.cmin[:, None] - o[None]) * inv[None]      # (C,N,3) fused
+    t1 = (cl.cmax[:, None] - o[None]) * inv[None]
     tn = jnp.minimum(t0, t1).max(-1)
     tf = jnp.maximum(t0, t1).min(-1)
-    mask = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[None, :])
+    hit = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[None, :])
+    mask = hit.reshape(G, GROUP, n).any(1)
     return mask, jnp.sum(mask, axis=1)
 
 

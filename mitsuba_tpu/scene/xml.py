@@ -745,21 +745,26 @@ class _Loader:
             else:
                 raise ValueError("mask without nested bsdf")
             op = p.get("opacity", 0.5)
-            if isinstance(op, (list, tuple, np.ndarray)):
+            op_tex = None
+            if isinstance(op, tuple) and op and op[0] == "texture":
+                # mask.cpp accepts a texture for the opacity; the blend
+                # row's (otherwise unused) tex_reflectance slot carries
+                # it and gather_shade_point evaluates it per lane
+                op_tex = self.load_texture(op[1])
+                op = 0.5
+            elif isinstance(op, (list, tuple, np.ndarray)):
                 op = float(np.mean(op))
             else:
-                try:
-                    op = float(op)
-                except (TypeError, ValueError):
-                    raise ValueError(
-                        "mask: textured opacity is not supported yet "
-                        "(scalar <float name=\"opacity\"> only)")
+                op = float(op)
             null_id = len(self.materials)
             self.materials.append({"type": ir.BSDF_NULL})
             mid = len(self.materials)
-            self.materials.append({"type": ir.BSDF_BLEND,
-                                   "nested": [child, null_id],
-                                   "extra": [op, 0.0, 0.0, 0.0]})
+            rec_mask = {"type": ir.BSDF_BLEND,
+                        "nested": [child, null_id],
+                        "extra": [op, 0.0, 0.0, 0.0]}
+            if op_tex is not None:
+                rec_mask["tex_reflectance"] = op_tex
+            self.materials.append(rec_mask)
             if "id" in node.attrib:
                 self.mat_ids[node.attrib["id"]] = mid
             return mid

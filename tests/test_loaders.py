@@ -788,3 +788,61 @@ def test_named_ior_and_flip(tmp_path):
     tris = np.asarray(scene.indices)
     assert tris[0, 1] > tris[0, 2]       # reversed
     assert tris[2, 1] < tris[2, 2]       # normal order
+
+
+def test_xml_mask_textured_opacity(tmp_path):
+    """mask.cpp accepts a texture for the opacity (VERDICT r4 item 8):
+    the loader wires it into the blend row's texture slot, and the
+    renderer applies it per lane. A leaf-card in front of a constant
+    environment: where the checker opacity is 0 the card passes light
+    through, where it is 1 the (black) diffuse absorbs — the image mean
+    must sit near (1 - mean opacity) * env, far from either extreme."""
+    from mitsuba_tpu.integrators import common, path
+    from mitsuba_tpu.scene import ir
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="path">
+        <integer name="maxDepth" value="3"/>
+    </integrator>
+    <sensor type="perspective">
+        <float name="fov" value="30"/>
+        <transform name="toWorld">
+            <lookat origin="0, 0, 3" target="0, 0, 0" up="0, 1, 0"/>
+        </transform>
+        <sampler type="independent">
+            <integer name="sampleCount" value="64"/>
+        </sampler>
+        <film type="hdrfilm">
+            <integer name="width" value="16"/>
+            <integer name="height" value="16"/>
+        </film>
+    </sensor>
+    <emitter type="constant">
+        <rgb name="radiance" value="1.0, 1.0, 1.0"/>
+    </emitter>
+    <shape type="rectangle">
+        <bsdf type="mask">
+            <texture name="opacity" type="checkerboard">
+                <rgb name="color0" value="0, 0, 0"/>
+                <rgb name="color1" value="1, 1, 1"/>
+                <float name="uscale" value="4"/>
+                <float name="vscale" value="4"/>
+            </texture>
+            <bsdf type="diffuse">
+                <rgb name="reflectance" value="0, 0, 0"/>
+            </bsdf>
+        </bsdf>
+    </shape>
+</scene>
+""")
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    types = np.asarray(scene.materials.type)
+    assert ir.BSDF_BLEND in types and ir.BSDF_NULL in types
+    blend_row = int(np.nonzero(types == ir.BSDF_BLEND)[0][0])
+    assert int(scene.materials.tex_reflectance[blend_row]) >= 0
+    img = np.asarray(common.render(scene, cam, path.li, cfg))
+    mean = float(img.mean())
+    # ~half the card is transparent: mean must be near 0.5 * env and
+    # clearly away from the all-opaque (0) and no-mask (1) extremes
+    assert 0.3 < mean < 0.7, mean

@@ -14,7 +14,9 @@ from probe_bigmesh import make_mesh, rays
 
 
 def sync(x):
-    np.asarray(x)[:4]
+    # slice ON DEVICE first: np.asarray(x)[:4] would transfer the
+    # whole array over the tunnel and dominate the timing
+    np.asarray(x[:4])
 
 
 def bench(f, *a, reps=3):

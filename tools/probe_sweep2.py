@@ -21,7 +21,7 @@ from probe_bigmesh import make_mesh, rays
 
 def sync(x):
     for leaf in jax.tree_util.tree_leaves(x):
-        np.asarray(leaf)[:1]
+        np.asarray(leaf[:1])
 
 
 def bench(f, *a, reps=3):

@@ -38,23 +38,19 @@ def bench(f, *a, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
-def sortperm(cl, o, d):
-    from mitsuba_tpu.ops import binned_intersect as B  # noqa: F401
-    qd = ((d * 0.5 + 0.5) * 7.999).astype(jnp.uint32)
-    lo = jnp.min(cl.cmin, 0)
-    hi = jnp.max(cl.cmax, 0)
-    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-    qi = (q * 31.999).astype(jnp.uint32)
-    kd = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
-    ko = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
-    return jnp.argsort((kd << 15) | ko)
+def sortperm(cl, o, d, tmax):
+    # ADVICE r3: the probe must measure the LIBRARY's sort, not a copy
+    from mitsuba_tpu.ops import binned_intersect as B
+    return B.ray_sort_perm(cl, o, d, tmax)
 
 
 def cluster_entry(cl, o, d, tmax):
-    """(C, N) cluster slab results: (enters, t_enter)."""
+    """(C, N) cluster slab results: (enters, t_enter) — the library's
+    guarded reciprocal (B._safe_inv) so the gate condition cannot drift
+    from binned_intersect's (ADVICE r3)."""
+    from mitsuba_tpu.ops import binned_intersect as B
     from mitsuba_tpu.ops import intersect as I
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                          jnp.where(d >= 0, 1e-12, -1e-12), d)
+    inv = B._safe_inv(d)
     t0 = (cl.cmin[:, None] - o[None]) * inv[None]
     t1 = (cl.cmax[:, None] - o[None]) * inv[None]
     tn = jnp.minimum(t0, t1).max(-1)
@@ -67,19 +63,24 @@ def stats(tag, scene, cl, o, d):
     from mitsuba_tpu.ops import binned_intersect as B
     n = o.shape[0]
     tmax = jnp.full((n,), jnp.float32(3e37))
-    perm = sortperm(cl, o, d)
+    perm = sortperm(cl, o, d, tmax)
     o, d = o[perm], d[perm]
 
-    hit, tn = jax.jit(lambda o, d, t: cluster_entry(cl, o, d, t))(o, d, tmax)
-    hit = np.asarray(hit)          # (C, N)
-    tn = np.asarray(tn)
+    # chunk the dense (C, N) map (ADVICE r3: ~3 GB at 2^20 rays if
+    # materialized in one piece)
+    ce = jax.jit(lambda o, d, t: cluster_entry(cl, o, d, t))
+    CH = 1 << 17
+    parts = [ce(o[i:i + CH], d[i:i + CH], tmax[i:i + CH])
+             for i in range(0, n, CH)]
+    hit = np.concatenate([np.asarray(p[0]) for p in parts], axis=1)
+    tn = np.concatenate([np.asarray(p[1]) for p in parts], axis=1)
     C, G = cl.n_clusters, cl.n_groups
     nsub = n // 128
 
     pair_ray = hit.sum()                                   # per-ray pairs
     sc = hit.reshape(C, nsub, 128).any(-1)                  # (C, nsub)
     pair_sub = sc.sum() * 128                               # subrow pairs
-    sg = sc.reshape(G, 8, nsub).any(1)                      # (G, nsub)
+    sg = sc.reshape(G, B.GROUP, nsub).any(1)                      # (G, nsub)
     tiles = sg.sum()
 
     # occlusion headroom: true hit t per ray, then count clusters whose
@@ -90,7 +91,7 @@ def stats(tag, scene, cl, o, d):
     pair_ray_occ = occl.sum()
     sc_o = occl.reshape(C, nsub, 128).any(-1)
     pair_sub_occ = sc_o.sum() * 128
-    sg_o = sc_o.reshape(G, 8, nsub).any(1)
+    sg_o = sc_o.reshape(G, B.GROUP, nsub).any(1)
     tiles_occ = sg_o.sum()
 
     print(f"[{tag}] n=2^{int(np.log2(n))} C={C} G={G} nsub={nsub}")
@@ -114,10 +115,12 @@ def timings(scene, cl, o, d):
         lambda o, d, t: B.closest_hit(scene, cl, o, d, t).t), o, d, tmax)
     print(f"  full closest_hit     {t_full*1e3:8.1f} ms "
           f"-> {n/t_full/1e6:6.2f} M rays/s")
-    # zero live tiles, same worst-case grid: tmax=0 kills every slab test
+    # zero live tiles, same worst-case grid: tmax=-3e37 is provably
+    # below every slab entry regardless of origin placement (ADVICE r3:
+    # tmax=0 left tiles live for origins inside a cluster box)
     t_dummy = bench(jax.jit(
         lambda o, d, t: B.closest_hit(scene, cl, o, d, t).t),
-        o, d, jnp.zeros((n,), jnp.float32))
+        o, d, jnp.full((n,), -3e37, jnp.float32))
     print(f"  all-dummy dispatch   {t_dummy*1e3:8.1f} ms   (grid overhead)")
     # cull + enumeration only
     G = cl.n_groups

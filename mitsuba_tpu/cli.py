@@ -32,6 +32,10 @@ def build_argparser():
     ap.add_argument("-s", "--spp", type=int, default=None, help="override spp")
     ap.add_argument("-d", "--depth", type=int, default=None, help="override maxDepth")
     ap.add_argument("-t", "--seed", type=int, default=0, help="RNG seed")
+    ap.add_argument("-a", action="append", default=[], metavar="path",
+                    dest="search_paths",
+                    help="prepend a file-resolver search path "
+                         "(repeatable; mitsuba -a parity)")
     ap.add_argument("--integrator", default=None,
                     help="override integrator (path/direct/volpath/depth/normal/ao)")
     ap.add_argument("--mesh", default=None, metavar="DP,SP",
@@ -168,7 +172,8 @@ def _render_one(args):
     scene_path = args.scene[0] if isinstance(args.scene, list) else args.scene
     if not os.path.exists(scene_path):
         raise SystemExit(f"scene file not found: {scene_path}")
-    scene, cam, cfg, integ_name = xmllib.load_xml(scene_path, defaults=defaults)
+    scene, cam, cfg, integ_name = xmllib.load_xml(
+        scene_path, defaults=defaults, search_paths=args.search_paths)
     if args.spp:
         cfg = cfg.__class__(**{**cfg.__dict__, "spp": args.spp})
     if args.depth:

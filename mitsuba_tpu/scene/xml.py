@@ -275,9 +275,11 @@ _CONDUCTORS = {
 
 
 class _Loader:
-    def __init__(self, base_dir: Path, subst: dict):
+    def __init__(self, base_dir: Path, subst: dict,
+                 search_paths: list | None = None):
         self.base = base_dir
         self.subst = subst
+        self.search_paths = list(search_paths or [])
         self._flip_pending = False
         self.test_phases: list = []
         self.materials: list[dict] = []
@@ -310,16 +312,18 @@ class _Loader:
         self.medium_ids: dict = {}     # id -> Medium (for <ref>)
 
     def resolve(self, filename) -> str:
-        """FileResolver analog (fresolver.h): scene dir, then the path
-        as given (absolute / cwd-relative), then the bare basename in
-        the scene dir (reference fixtures use repo-root-relative paths
-        like 'data/tests/envmap.exr' next to the scene file)."""
-        cands = [self.base / str(filename), Path(str(filename)),
-                 self.base / Path(str(filename)).name]
+        """FileResolver analog (fresolver.h): user-prepended search
+        paths (the CLI's -a flag, mitsuba.cpp:159 prependPath), then the
+        scene dir, the path as given (absolute / cwd-relative), and the
+        bare basename in the scene dir (reference fixtures use
+        repo-root-relative paths like 'data/tests/envmap.exr' next to
+        the scene file)."""
+        cands = [Path(p) / str(filename) for p in self.search_paths]             + [self.base / str(filename), Path(str(filename)),
+               self.base / Path(str(filename)).name]
         for c in cands:
             if c.exists():
                 return str(c)
-        return str(cands[0])   # let the open() error carry this path
+        return str(cands[-3])  # let the open() error carry this path
 
     # --- media ---------------------------------------------------------
     def _convert_phase(self, child):
@@ -1104,7 +1108,8 @@ class _Loader:
             self.cfg_kw["hide_emitters"] = bool(p["hideEmitters"])
 
 
-def load_xml(path, defaults: dict | None = None, time: float = 0.0):
+def load_xml(path, defaults: dict | None = None, time: float = 0.0,
+             search_paths: list | None = None):
     """Load a Mitsuba XML scene.
 
     Returns (scene, camera, config, integrator_name). `defaults` override
@@ -1131,7 +1136,7 @@ def load_xml(path, defaults: dict | None = None, time: float = 0.0):
         subst.update(defaults)
 
     _ALL_PROPS.clear()
-    ld = _Loader(path.parent, subst)
+    ld = _Loader(path.parent, subst, search_paths=search_paths)
     ld.time = float(time)
     _process_children(root, ld, subst, path.parent)
     out = _finish(ld)

@@ -846,3 +846,37 @@ def test_xml_mask_textured_opacity(tmp_path):
     # ~half the card is transparent: mean must be near 0.5 * env and
     # clearly away from the all-opaque (0) and no-mask (1) extremes
     assert 0.3 < mean < 0.7, mean
+
+
+def test_xml_file_resolver_search_paths(tmp_path):
+    """FileResolver search paths (fresolver.h / mitsuba -a parity): a
+    texture referenced by bare name resolves through a user-prepended
+    search directory."""
+    import numpy as np
+    from mitsuba_tpu.io import image
+    d_tex = tmp_path / "textures"
+    d_tex.mkdir()
+    image.write_png(str(d_tex / "tex.png"),
+                    np.full((4, 4, 3), 0.5, np.float32))
+    p = tmp_path / "s.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="path"/>
+    <sensor type="perspective">
+        <film type="hdrfilm">
+            <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+    </sensor>
+    <shape type="rectangle">
+        <bsdf type="diffuse">
+            <texture name="reflectance" type="bitmap">
+                <string name="filename" value="tex.png"/>
+            </texture>
+        </bsdf>
+    </shape>
+</scene>
+""")
+    with pytest.raises(Exception):
+        xmllib.load_xml(p)
+    scene, _, _, _ = xmllib.load_xml(p, search_paths=[str(d_tex)])
+    assert scene.textures.shape[0] >= 1

@@ -654,7 +654,7 @@ def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
 # mechanics (per-pass re-sort, multi-tile sub-rows, cursor-aware cheap
 # residual) make it win; the machinery is kept under test.
 
-SWEEP_PASSES = 4
+SWEEP_PASSES = 6
 GKEY_BITS = 14                      # low cursor-key bits hold the group id
 GKEY_MASK = (1 << GKEY_BITS) - 1
 CUR_END = 2147483647                # int32 max: "no further group"
@@ -707,34 +707,46 @@ def _verified_t(scene, cl: Clusters, k1, g1, k2, g2, o, d, tmax):
     return jnp.minimum(t, jnp.where(ok2, te2, MISS_F))
 
 
+def _subrow_mask_cursor(cl: Clusters, o, d, cur, bound):
+    """(nsub, G) residual sub-row mask: only (group, ray) pairs BEYOND
+    the ray's cursor and WITHIN its verified bound count (fused)."""
+    G = cl.n_groups
+    n = o.shape[0]
+    gmin = cl.cmin.reshape(G, GROUP, 3).min(1)
+    gmax = cl.cmax.reshape(G, GROUP, 3).max(1)
+    inv = _safe_inv(d)
+    t0 = (gmin[:, None] - o[None]) * inv[None]
+    t1 = (gmax[:, None] - o[None]) * inv[None]
+    tn = jnp.minimum(t0, t1).max(-1)
+    tf = jnp.maximum(t0, t1).min(-1)
+    tq = jax.lax.bitcast_convert_type(jnp.maximum(tn, 0.0), jnp.int32)
+    gid = jax.lax.broadcasted_iota(jnp.int32, tn.shape, 0)
+    key = (tq & jnp.int32(~jnp.int32(GKEY_MASK))) | gid
+    live = ((tn <= tf) & (tf > I.SHADOW_EPS) & (tn < bound[None, :])
+            & (key > cur[None, :]))
+    return live.reshape(G, n // 128, 128).any(-1).T
+
+
 def closest_key2_sweep(scene, cl: Clusters, o, d, tmax,
                        passes: int = SWEEP_PASSES, any_mode: bool = False):
-    """Top-2 candidates via the t-ordered sweep. Requires a BLOCK-
-    multiple ray count (callers pad). In any_mode, a single verified
-    hit ends a ray's sweep (shadow-ray semantics)."""
+    """Top-2 candidates via the t-ordered sweep (v6.2). Requires a
+    BLOCK-multiple ray count (callers pad). In any_mode, a single
+    verified hit ends a ray's sweep (shadow-ray semantics).
+
+    v6.2 re-sorts every pass: rays are ordered by their CURRENT next
+    group, so each pass's one-tile-per-sub-row dispatch serves (almost)
+    every live lane, retiring a constant fraction of rays per pass —
+    v6.1's fixed order lost sub-row consensus after pass 1 and retired
+    only ~10%/pass. Retired rays pack to the tail, so their sub-rows
+    dispatch as dummy tiles (~0.15 us each, calibrated). The residual
+    for rays still unresolved after `passes` uses a CURSOR-AWARE dense
+    enumeration on the re-sorted (compacted) layout, so its live tiles
+    scale with stragglers rather than with all rays. State lives in the
+    original ray order; only the per-pass tile views are gathered."""
     n = o.shape[0]
     nsub = n // 128
     G = cl.n_groups
-
-    # sort by FIRST-VISITED group (t-order), then direction/origin cell:
-    # sub-row lanes then march through nearly identical group sequences,
-    # so the one-tile-per-sub-row passes resolve whole sub-rows at once
-    first = _next_group(cl, o, d, jnp.full((n,), -1, jnp.int32), tmax)
-    qd = ((d * 0.5 + 0.5) * 7.999).astype(jnp.int32)
-    lo = jnp.min(cl.cmin, 0)
-    hi = jnp.max(cl.cmax, 0)
-    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-    qi = (q * 31.999).astype(jnp.int32)
-    dcell = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
-    ocell = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
-    primary = jnp.where(first == CUR_END, CUR_END,
-                        first & jnp.int32(GKEY_MASK))
-    perm = jnp.lexsort(((dcell << 15) | ocell, primary))
-    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
-    o = o[perm]
-    d = d[perm]
-    tmax = tmax[perm]
+    arange_n = jnp.arange(n, dtype=jnp.int32)
 
     cur = jnp.full((n,), -1, jnp.int32)
     bound = tmax
@@ -746,43 +758,85 @@ def closest_key2_sweep(scene, cl: Clusters, o, d, tmax,
 
     for _ in range(passes):
         cand = _next_group(cl, o, d, cur, bound)               # (N,)
-        skey = cand.reshape(nsub, 128).min(1)                  # (nsub,)
-        gs = jnp.where(skey == CUR_END, G,
-                       skey & jnp.int32(GKEY_MASK)).astype(jnp.int32)
+        gid = jnp.where(cand == CUR_END, jnp.int32(1 << 20),
+                        cand & jnp.int32(GKEY_MASK))
+        # single-key sort: group id in the high bits, the top 17 t bits
+        # as tiebreak (a second lexsort pass costs a full extra sort)
+        skey = (gid.astype(jnp.uint32) << 17)             | ((cand.astype(jnp.uint32) >> 14) & jnp.uint32(0x1FFFF))
+        order = jnp.argsort(skey)
+        o_s = o[order]
+        d_s = d[order]
+        gid_s = gid[order]
+        gs = jnp.where(gid_s.reshape(nsub, 128)[:, 0] >= G, G,
+                       gid_s.reshape(nsub, 128)[:, 0]).astype(jnp.int32)
         packed = tsub32 | gs
-        keys, grps, keys2, grps2 = _dispatch_tiles(cl, o, d, packed)
-        # blocks all of whose sub-rows are done this pass were still
-        # initialised by the kernel (the init branch runs before the
-        # live-tile check), so no dead-block masking is needed here
+        keys, grps, keys2, grps2 = _dispatch_tiles(cl, o_s, d_s, packed)
+        inv_o = jnp.zeros((n,), jnp.int32).at[order].set(
+            arange_n, unique_indices=True)
         k1, g1, k2, g2 = _merge_top2(
             k1, g1, k2, g2,
-            keys[:nsub].reshape(-1), grps[:nsub].reshape(-1),
-            keys2[:nsub].reshape(-1), grps2[:nsub].reshape(-1))
+            keys[:nsub].reshape(-1)[inv_o], grps[:nsub].reshape(-1)[inv_o],
+            keys2[:nsub].reshape(-1)[inv_o],
+            grps2[:nsub].reshape(-1)[inv_o])
         vt = _verified_t(scene, cl, k1, g1, k2, g2, o, d, tmax)
         if any_mode:
             bound = jnp.where(vt < MISS_F, 0.0, tmax)
         else:
             bound = jnp.minimum(tmax, vt * (1.0 + 2.0 ** -11) + 1e-6)
-        # advance lanes whose own next group was this pass's tile group
-        adv = (cand != CUR_END) \
-            & ((cand & jnp.int32(GKEY_MASK))
-               == jnp.repeat(gs, 128))
+        # a lane advanced iff its next group was its sub-row's tile group
+        gs_of_ray = jnp.repeat(gs, 128)[inv_o]
+        adv = (cand != CUR_END) & (gid == gs_of_ray)
         cur = jnp.where(adv, cand, cur)
 
-    # residual: rays with untested in-range groups left (rare) get one
-    # dense bounded dispatch; re-testing an already-tested group is
-    # harmless (idempotent top-2 merge)
+    # residual: compact the stragglers to the front, then one
+    # cursor-aware dense dispatch whose live tiles scale with them
     cand = _next_group(cl, o, d, cur, bound)
+    gid = jnp.where(cand == CUR_END, jnp.int32(1 << 20),
+                    cand & jnp.int32(GKEY_MASK))
+    skey = (gid.astype(jnp.uint32) << 17)         | ((cand.astype(jnp.uint32) >> 14) & jnp.uint32(0x1FFFF))
+    order = jnp.argsort(skey)
+    inv_o = jnp.zeros((n,), jnp.int32).at[order].set(
+        arange_n, unique_indices=True)
 
     def _residual(args):
         k1, g1, k2, g2 = args
-        r1, rg1, r2, rg2 = closest_key2(cl, o, d, bound, sort=False)
-        return _merge_top2(k1, g1, k2, g2, r1, rg1, r2, rg2)
+        o_s = o[order]
+        d_s = d[order]
+        cur_s = cur[order]
+        bound_s = bound[order]
+        parts = []
+        chunk = max(TILE_BUDGET // G // SUBROWS * BLOCK, BLOCK)
+        for i in range(0, n, chunk):
+            sl = slice(i, min(i + chunk, n))
+            sm = jax.lax.optimization_barrier(_subrow_mask_cursor(
+                cl, o_s[sl], d_s[sl], cur_s[sl], bound_s[sl]))
+            nc = sm.shape[0] * 128
+            maxt = sm.shape[0] * G
+            (tidx,) = jnp.nonzero(sm.reshape(-1), size=maxt,
+                                  fill_value=maxt)
+            livet = tidx < maxt
+            tsub = jnp.where(livet, tidx // G, sm.shape[0]) \
+                .astype(jnp.int32)
+            tg = jnp.where(livet, tidx % G, G).astype(jnp.int32)
+            keys, grps, keys2, grps2 = _dispatch_tiles(
+                cl, o_s[sl], d_s[sl], (tsub << 16) | tg)
+            nsub_c = nc // 128
+            dead = jnp.repeat(~sm.any(-1), 128)
+            parts.append((
+                jnp.where(dead, MISS_KEY, keys[:nsub_c].reshape(-1)),
+                grps[:nsub_c].reshape(-1),
+                jnp.where(dead, MISS_KEY, keys2[:nsub_c].reshape(-1)),
+                grps2[:nsub_c].reshape(-1)))
+        r = [jnp.concatenate([p[j] for p in parts]) if len(parts) > 1
+             else parts[0][j] for j in range(4)]
+        return _merge_top2(k1, g1, k2, g2,
+                           r[0][inv_o], r[1][inv_o],
+                           r[2][inv_o], r[3][inv_o])
 
     k1, g1, k2, g2 = jax.lax.cond(
         jnp.any(cand != CUR_END), _residual, lambda a: a, (k1, g1, k2, g2))
 
-    return (k1[inv_perm], g1[inv_perm], k2[inv_perm], g2[inv_perm])
+    return k1, g1, k2, g2
 
 
 # --------------------------------------------------------------------------

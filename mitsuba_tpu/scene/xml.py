@@ -1033,6 +1033,12 @@ class _Loader:
                 fp = _props(child, self.subst)
                 self.width = int(fp.get("width", 768))
                 self.height = int(fp.get("height", 576))
+                fmt = str(fp.get("pixelFormat", "rgb"))
+                if fmt not in ("rgb", "luminance"):
+                    from ..core.logger import EWarn, get_logger
+                    get_logger().log(
+                        EWarn, f"film: pixelFormat '{fmt}' stored as rgb "
+                        "(alpha/spectrum channels are not carried)")
                 if child.attrib.get("type") == "tiledhdrfilm":
                     # streamed row-band output (films/tiledhdrfilm.cpp)
                     self.cfg_kw["film_tiled"] = True
@@ -1106,6 +1112,17 @@ class _Loader:
             self.cfg_kw["strict_normals"] = bool(p["strictNormals"])
         if "hideEmitters" in p:
             self.cfg_kw["hide_emitters"] = bool(p["hideEmitters"])
+        if typ == "direct":
+            # direct.cpp's per-strategy sample counts: this integrator
+            # always uses 1 emitter + 1 BSDF sample with MIS; accept the
+            # parameters (legacy scenes set them) and note the fixture
+            for key in ("emitterSamples", "bsdfSamples", "shadingSamples"):
+                if key in p and int(p[key]) != 1:
+                    from ..core.logger import EWarn, get_logger
+                    get_logger().log(
+                        EWarn, f"direct: {key}={p[key]} requested; this "
+                        "implementation uses 1 sample per strategy "
+                        "(raise spp instead)")
 
 
 def load_xml(path, defaults: dict | None = None, time: float = 0.0,
@@ -1127,6 +1144,13 @@ def load_xml(path, defaults: dict | None = None, time: float = 0.0,
     root = tree.getroot()
     if root.tag != "scene":
         raise ValueError("root element must be <scene>")
+    # legacy scene versions: apply the upgrade chain in place
+    # (data/schema/upgrade_*.xsl parity — scene/upgrade.py)
+    from . import upgrade as _upgradelib
+    if _upgradelib.upgrade_to_current(root):
+        from ..core.logger import EInfo, get_logger
+        get_logger().log(
+            EInfo, f"upgraded legacy scene {path.name} to version 0.6.0")
 
     subst = {}
     for child in root:

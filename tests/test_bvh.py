@@ -273,3 +273,39 @@ def test_binned_edge_adversarial_no_leaks():
     b1 = np.asarray(its.b1)[valid]
     b2 = np.asarray(its.b2)[valid]
     assert (b1 >= 0).all() and (b2 >= 0).all() and (b1 + b2 <= 1 + 1e-6).all()
+
+
+def test_sweep_and_pairs_match_dense():
+    """The t-ordered sweep (v6.2) and the pair-explicit dispatch (v7)
+    must agree with the dense enumeration exactly (same top-2 +
+    exact-retest contract); both are exercised in interpret mode."""
+    from mitsuba_tpu.ops import binned_intersect as bi
+    from mitsuba_tpu.scene import ir as irlib
+
+    v, f = _bunny_or_synthetic()
+    scene = irlib.build_scene(v, f, np.zeros(len(f), np.int32),
+                              [{"type": irlib.BSDF_DIFFUSE}])
+    cl = bi.build_clusters(scene)
+    lo, hi = v.min(0), v.max(0)
+    center = jnp.asarray((lo + hi) / 2)
+    radius = float(np.linalg.norm(hi - lo) / 2)
+    n = 4 * bi.BLOCK
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    a = jax.random.normal(k1, (n, 3))
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b2 = jax.random.normal(k2, (n, 3))
+    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    o = center + a * radius
+    d = center + b2 * radius * 0.5 - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    dense = _interp(bi.closest_hit)(scene, cl, o, d, sweep=False)
+    swp = _interp(bi.closest_hit)(scene, cl, o, d, sweep=True)
+    prs = _interp(bi.closest_hit_pairs)(scene, cl, o, d)
+    for name, its in (("sweep", swp), ("pairs", prs)):
+        agree = (np.asarray(its.valid) == np.asarray(dense.valid))
+        assert agree.mean() > 0.999, (name, agree.mean())
+        both = np.asarray(its.valid) & np.asarray(dense.valid)
+        assert np.allclose(np.asarray(its.t)[both],
+                           np.asarray(dense.t)[both],
+                           rtol=1e-4, atol=1e-5), name

@@ -45,7 +45,7 @@ def main():
 
     sizes = [int(a) for a in sys.argv[1:]] or [16, 18, 20]
 
-    sweep_t = jax.jit(lambda s, c, o, d: B.closest_hit(s, c, o, d).t)
+    sweep_t = jax.jit(lambda s, c, o, d: B.closest_hit(s, c, o, d, sweep=True).t)
     dense_t = jax.jit(
         lambda s, c, o, d: B.closest_hit(s, c, o, d, sweep=False).t)
     brute_t = jax.jit(lambda s, o, d: I.intersect_brute(s, o, d).t)

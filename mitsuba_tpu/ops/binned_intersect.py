@@ -43,10 +43,18 @@ Pipeline:
   5. decode reads the per-ray keys straight off — no segment reduction —
      and re-tests both candidates exactly against their triangles.
 
-Rays are optionally pre-sorted by (direction cell, origin cell) so
+Rays are optionally pre-sorted by their GROUP-ENTRY SIGNATURE
+(ray_sort_perm: first/last group entered + count + direction cell) so
 sub-rows hit few clusters; camera rays are already coherent. Results
 are exact: every cluster a ray's sub-row enters is tested, and the
-winning candidates are re-validated in f32."""
+winning candidates are re-validated in f32.
+
+Beyond this dense default, two measured r4 variants live below and are
+pinned against it in tests: the t-ordered sweep (v6.2 —
+closest_key2_sweep; first incoherent win, +20%) and the pair-explicit
+dispatch (v7 — closest_hit_pairs; 100% lane efficiency but
+bookkeeping-bound). See BASELINE.md round 4 for the cost model and
+honest numbers."""
 from __future__ import annotations
 
 import jax

@@ -1,5 +1,13 @@
 """Probe: v7 pair-explicit dispatch — correctness vs brute + rays/s
-vs the dense path, on the 70k bench mesh (value-fetch synced)."""
+vs the dense path, on the 70k bench mesh (value-fetch synced).
+
+Note: an occasional single-ray "mismatch" on coherent sets
+is an epsilon-corner tie — the ray passes through a shared
+triangle corner and the two backends accept adjacent
+triangles (both valid hits, t differing by the corner
+obliquity); verified benign in r4 (ray 9063 of the 2^14
+coherent set: prims 430/431, b1=b2=0).
+"""
 import os
 import sys
 import time

@@ -4,6 +4,14 @@ Correctness (vs the fused f32 brute) and value-fetch-synced rays/s on
 the 70k bench mesh, incoherent chords + coherent camera cone.
 
 Usage: python tools/probe_sweep.py [sizes_log2 ...]
+
+
+Note: an occasional single-ray "mismatch" on coherent sets
+is an epsilon-corner tie — the ray passes through a shared
+triangle corner and the two backends accept adjacent
+triangles (both valid hits, t differing by the corner
+obliquity); verified benign in r4 (ray 9063 of the 2^14
+coherent set: prims 430/431, b1=b2=0).
 """
 import os
 import sys

@@ -59,7 +59,16 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
 
         # --- escaped rays: environment emission --------------------------
         if scene.has_env:
-            env_le = spec.upsample(emitterlib.env_radiance(scene, d), lam)
+            if scene.envmap is not None \
+                    and scene.envmap.spectral is not None:
+                # TRUE spectral sky (Hosek band stack baked at load —
+                # the reference's SPECTRUM_SAMPLES>3 build analog)
+                from ..scene import envmap as envlib
+                env_le = envlib.eval_radiance_spectral(scene.envmap, d,
+                                                       lam)
+            else:
+                env_le = spec.upsample(
+                    emitterlib.env_radiance(scene, d), lam)
             w_env = jnp.where(prev_delta, 1.0,
                               mis_weight(cfg.mis_mode, prev_pdf,
                                          emitterlib.pdf_direct_env(scene, d)))
@@ -101,6 +110,13 @@ def li(scene, cam, o, d, stream: SampleStream, cfg: RenderConfig) -> jax.Array:
         w_nee = jnp.where(ds.is_delta, 1.0,
                           mis_weight(cfg.mis_mode, ds.pdf, pdf_bsdf_nee))
         rad = spec.upsample(ds.radiance, lam)
+        if scene.envmap is not None and scene.envmap.spectral is not None:
+            # env NEE samples carry the true sky spectrum too
+            from ..scene import envmap as envlib
+            rad = jnp.where(ds.is_env[:, None],
+                            envlib.eval_radiance_spectral(scene.envmap,
+                                                          ds.d, lam),
+                            rad)
         contrib = beta * f_nee * rad * m.safe_div(w_nee, ds.pdf)[:, None]
         L = add(L, contrib, nee_possible & ~blocked)
 

@@ -109,3 +109,68 @@ def sky_radiance_rgb(d, sun_dir, turbidity=3.0, albedo=0.2):
     rgb = radiance(cfg, rad_scale, theta, gamma) / _CIE_Y_SUM
     rgb = np.maximum(rgb, 0.0)
     return rgb * (cos_t > 0.0)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Spectral variant: 11 bands at 320..720 nm (the reference's
+# SPECTRUM_SAMPLES != 3 path, arhosekskymodel_radiance — same
+# distribution formula per band, linear interpolation between bands).
+# ---------------------------------------------------------------------------
+
+SPEC_BANDS = np.arange(320.0, 721.0, 40.0)
+
+
+def cook_state_spectral(turbidity: float, albedo: float, elevation: float):
+    """(11,9) params + (11,) radiance scales for all bands (scalar
+    albedo, like the reference's spectral state)."""
+    z = np.load(os.path.join(os.path.dirname(__file__), "data",
+                             "hosek_rgb.npz"))
+    params, rad = z["spec_params"], z["spec_rad"]   # (11,2,10,6,9) etc.
+    t = float(np.clip(turbidity, 1.0, 10.0))
+    a = float(np.clip(albedo, 0.0, 1.0))
+    it = min(int(t), 9)
+    tr = t - it
+    x = (max(float(elevation), 0.0) / (np.pi / 2.0)) ** (1.0 / 3.0)
+    c5 = np.asarray([1.0, 5.0, 10.0, 10.0, 5.0, 1.0])
+    bez = c5 * (1.0 - x) ** np.arange(5, -1, -1) * x ** np.arange(6)
+
+    def interp(tab):
+        lo = np.tensordot(bez, tab[:, :, it - 1], axes=([0], [2]))
+        out = (1.0 - tr) * lo
+        if it < 10:
+            out = out + tr * np.tensordot(bez, tab[:, :, it],
+                                          axes=([0], [2]))
+        return (1.0 - a) * out[:, 0] + a * out[:, 1]
+
+    return interp(params), interp(rad)              # (11,9), (11,)
+
+
+def radiance_spectral(cfgs, rads, theta, gamma, lam):
+    """Spectral dome radiance at wavelengths `lam` (nm; arrays
+    broadcast against theta/gamma). Linear band interpolation like
+    arhosekskymodel_radiance; zero outside [320, 720]."""
+    vals = radiance(cfgs, rads, theta, gamma)       # (..., 11)
+    pos = (np.asarray(lam) - 320.0) / 40.0
+    lo = np.clip(np.floor(pos).astype(np.int32), 0, 10)
+    hi = np.minimum(lo + 1, 10)
+    f = np.clip(pos - lo, 0.0, 1.0)
+    out = vals[..., lo] * (1.0 - f) + vals[..., hi] * f
+    return np.where((np.asarray(lam) >= 320.0) & (np.asarray(lam) <= 720.0),
+                    out, 0.0)
+
+
+def sky_radiance_spectral_bands(d, sun_dir, turbidity=3.0, albedo=0.2):
+    """All-band dome radiance along directions d (..., 3), y-up; zero
+    below the horizon. Returns (..., 11) in the model's raw spectral
+    units (the bake applies the pipeline calibration)."""
+    d = np.asarray(d, np.float64)
+    s = np.asarray(sun_dir, np.float64)
+    s = s / np.linalg.norm(s)
+    elev = np.pi / 2.0 - np.arccos(np.clip(s[1], -1.0, 1.0))
+    cfgs, rads = cook_state_spectral(turbidity, float(np.mean(albedo)),
+                                     elev)
+    cos_t = np.clip(d[..., 1], -1.0, 1.0)
+    theta = np.minimum(np.arccos(cos_t), np.pi / 2.0 - 1e-4)
+    gamma = np.arccos(np.clip(d @ s, -1.0, 1.0))
+    vals = radiance(cfgs, rads, theta, gamma)       # (..., 11)
+    return np.maximum(vals, 0.0) * (cos_t > 0.0)[..., None]

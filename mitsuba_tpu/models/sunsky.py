@@ -22,8 +22,10 @@ through CIE XYZ. `scale` multiplies the result, matching the reference's
 
 The date/time/lat-long PSA solar-position calculator is implemented
 below (`sun_position_psa`) and wired into the XML loader; passing
-`sun_direction` explicitly overrides it. Remaining documented gaps vs
-the reference: spectral sky channels.
+`sun_direction` explicitly overrides it. The spectral renderer gets a
+TRUE spectral sky: `bake_spectral` bakes the Hosek 11-band stack
+(320..720 nm) onto the envmap for the hero-wavelength integrator —
+the analog of the reference's SPECTRUM_SAMPLES>3 build.
 """
 from __future__ import annotations
 
@@ -213,6 +215,57 @@ def bake(kind, sun_dir=(0.0, 0.7071, 0.7071), turbidity=3.0, scale=1.0,
     if kind in ("sun", "sunsky"):
         bake_sun(img, sun_dir, turbidity, scale, sun_radius_scale)
     return img.astype(np.float32)
+
+
+def bake_spectral(kind, sun_dir=(0.0, 0.7071, 0.7071), turbidity=3.0,
+                  scale=1.0, resolution=512, sun_radius_scale=1.0,
+                  albedo=0.2):
+    """Spectral companion of bake(): an (H, W, 11) stack of Hosek-Wilkie
+    band radiances at 320..720 nm (hosek.SPEC_BANDS), luminance-
+    calibrated to the kcd/m^2 RGB bake so the spectral renderer's
+    resolved images agree with the RGB path in magnitude while carrying
+    the model's true spectral shape (the reference's SPECTRUM_SAMPLES>3
+    build is the analog). The solar disk (kind "sun"/"sunsky") is added
+    via the pipeline's RGB upsampler at the band centers — the Hosek
+    dataset only covers the dome."""
+    from . import hosek
+    w = int(resolution)
+    h = max(w // 2, 2)
+    d, _ = _latlong_dirs(h, w)
+    spec = hosek.sky_radiance_spectral_bands(
+        d, sun_dir, turbidity, albedo) if kind in ("sky", "sunsky")         else np.zeros((h, w, 11))
+    # luminance calibration on the mean dome spectrum vs the RGB bake
+    rgb_dome = hosek.sky_radiance_rgb(d, sun_dir, turbidity, albedo)         * (683.0 * 106.856980 / 1000.0)
+    lum_rgb = float((rgb_dome @ np.asarray([0.2126, 0.7152, 0.0722])).mean())
+    lam = np.linspace(400.0, 700.0, 61)
+    mean_spec = spec.mean((0, 1))                       # (11,)
+    pos = (lam - 320.0) / 40.0
+    lo = np.clip(np.floor(pos).astype(int), 0, 10)
+    f = np.clip(pos - lo, 0.0, 1.0)
+    L_mean = mean_spec[lo] * (1 - f) + mean_spec[np.minimum(lo + 1, 10)] * f
+    # calibrate against the SPECTRAL PIPELINE's own camera response
+    # (core/spectrum.rgb_response): the hero-wavelength renderer's unit
+    # convention is "spectra resolve to RGB" — a physically-scaled
+    # spectrum would land a luminous-efficacy factor (~73x) off. The
+    # spectral SHAPE stays the model's; only the scalar scale is pinned
+    # so resolved renders agree with the RGB bake.
+    from ..core import spectrum as spc
+    import jax.numpy as _jnp
+    resp = np.asarray(spc.rgb_response(_jnp.asarray(lam)))   # (61, 3)
+    resolved = np.trapezoid(resp * L_mean[:, None], lam, axis=0)  # (3,)
+    lum_w = np.asarray([0.2126, 0.7152, 0.0722])
+    C = lum_rgb / max(float(resolved @ lum_w), 1e-12)
+    spec = spec * (C * scale)
+    if kind in ("sun", "sunsky"):
+        sun_rgb = np.zeros((h, w, 3), np.float64)
+        bake_sun(sun_rgb, sun_dir, turbidity, scale, sun_radius_scale)
+        if sun_rgb.max() > 0:
+            import jax.numpy as jnp
+            su = np.asarray(spc.upsample(
+                jnp.asarray(sun_rgb.reshape(-1, 3), jnp.float32),
+                jnp.asarray(hosek.SPEC_BANDS, jnp.float32)))
+            spec = spec + su.reshape(h, w, 11)
+    return spec.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

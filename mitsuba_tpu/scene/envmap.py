@@ -27,6 +27,10 @@ class EnvMap:
     cond_cdf: jax.Array   # (H, W) inclusive conditional CDF per row
     pdf_map: jax.Array    # (H, W) discrete selection probability (sums to 1)
     scale: jax.Array      # () overall scale
+    # optional true-spectral radiance stack (H, W, B) at the Hosek band
+    # wavelengths (models/hosek.SPEC_BANDS) — consumed by the
+    # hero-wavelength spectral integrator instead of RGB upsampling
+    spectral: object = None
 
 
 def build_envmap(image: np.ndarray, scale: float = 1.0) -> EnvMap:
@@ -54,9 +58,49 @@ def build_envmap(image: np.ndarray, scale: float = 1.0) -> EnvMap:
     )
 
 
-def attach_envmap(scene, image: np.ndarray, scale: float = 1.0):
+def attach_envmap(scene, image: np.ndarray, scale: float = 1.0,
+                  spectral: np.ndarray | None = None):
     em = build_envmap(image, scale)
+    if spectral is not None:
+        em = em.replace(spectral=jnp.asarray(spectral, jnp.float32))
     return scene.replace(envmap=em, has_env=True)
+
+
+# Hosek band wavelengths of EnvMap.spectral (320..720 nm step 40)
+SPEC_BANDS_MIN = 320.0
+SPEC_BANDS_STEP = 40.0
+
+
+def eval_radiance_spectral(em: EnvMap, d: jax.Array,
+                           lam: jax.Array) -> jax.Array:
+    """Spectral radiance lookup: bilinear in (u, v), linear across the
+    band axis at wavelengths lam (..., K) -> (..., K)."""
+    spec = em.spectral                                  # (H, W, B)
+    h, w, B = spec.shape
+    u, v = dir_to_uv(d)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    bands = (
+        spec[y0i, x0i] * (1 - fx) * (1 - fy)
+        + spec[y0i, x1i] * fx * (1 - fy)
+        + spec[y1i, x0i] * (1 - fx) * fy
+        + spec[y1i, x1i] * fx * fy
+    )                                                   # (..., B)
+    pos = (lam - SPEC_BANDS_MIN) / SPEC_BANDS_STEP      # (..., K)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, B - 1)
+    hi = jnp.minimum(lo + 1, B - 1)
+    f = jnp.clip(pos - lo, 0.0, 1.0)
+    out = (jnp.take_along_axis(bands, lo, axis=-1) * (1.0 - f)
+           + jnp.take_along_axis(bands, hi, axis=-1) * f)
+    return out * em.scale
 
 
 def dir_to_uv(d: jax.Array):

@@ -1310,6 +1310,19 @@ def _process_children(root, ld, subst, base_dir):
                 )
                 ld.env_radiance = None
                 ld.cfg_kw.setdefault("_envmap", data)
+                if str(p.get("skyModel", "hosek")) == "hosek":
+                    # true-spectral companion stack for the spectral
+                    # renderer (the reference's SPECTRUM_SAMPLES>3 build)
+                    ld.cfg_kw.setdefault(
+                        "_envmap_spectral",
+                        sunskylib.bake_spectral(
+                            typ, sun_dir=np.asarray(sd, np.float64),
+                            turbidity=float(p.get("turbidity", 3.0)),
+                            scale=float(p.get("scale", 1.0)),
+                            resolution=int(p.get("resolution", 512)),
+                            sun_radius_scale=float(
+                                p.get("sunRadiusScale", 1.0)),
+                            albedo=float(np.mean(alb_sky))))
             else:
                 raise ValueError(f"unsupported emitter plugin '{typ}'")
         elif tag in ("default", "alias", "null"):
@@ -1327,6 +1340,7 @@ def _process_children(root, ld, subst, base_dir):
 
 def _finish(ld):
     envmap = ld.cfg_kw.pop("_envmap", None)
+    envmap_spectral = ld.cfg_kw.pop("_envmap_spectral", None)
     if not ld.tris:
         # shapeless scenes are legal (e.g. a radiancemeter watching a
         # collimated emitter, data/tests/test_bidir_1.xml); the IR needs
@@ -1360,7 +1374,8 @@ def _finish(ld):
     )
     if envmap is not None:
         from . import envmap as envlib
-        scene = envlib.attach_envmap(scene, envmap)
+        scene = envlib.attach_envmap(scene, envmap,
+                                     spectral=envmap_spectral)
     if ld.delta_emitters:
         scene = scene.replace(
             delta_emitters=ir.build_delta_emitters(ld.delta_emitters)

@@ -206,3 +206,101 @@ def test_hosek_albedo_brightens_sky():
     lo = sunsky.bake("sky", sun_dir=SUN, resolution=64, albedo=0.0)
     hi = sunsky.bake("sky", sun_dir=SUN, resolution=64, albedo=0.9)
     assert hi.mean() > lo.mean() * 1.05
+
+
+_HOSEK_SPEC_ORACLE = [
+    # (turbidity, elevation, theta, gamma, (L@400, L@541.3, L@680 nm)),
+    # albedo 0.25 — generated from the authors' published
+    # implementation (arhosekskymodel_radiance, compiled standalone)
+    (2.5, 0.15, 0.3, 0.1, (3.550032386e-02, 4.361662395e-02, 2.628273815e-02)),
+    (2.5, 0.15, 0.3, 1.5, (2.552334377e-02, 1.749457863e-02, 5.842009504e-03)),
+    (2.5, 0.15, 1.2, 0.1, (7.330380298e-02, 1.549911731e-01, 1.233078941e-01)),
+    (2.5, 0.15, 1.2, 1.5, (4.632344478e-02, 4.940695274e-02, 2.162909574e-02)),
+    (2.5, 0.9, 0.3, 0.1, (1.432888823e-01, 1.051210918e-01, 5.948963047e-02)),
+    (2.5, 0.9, 0.3, 1.5, (8.703841596e-02, 3.520480751e-02, 1.071808139e-02)),
+]
+
+
+def test_hosek_spectral_matches_reference_implementation():
+    from mitsuba_tpu.models import hosek
+    lams = np.asarray([400.0, 541.3, 680.0])
+    for turb, elev, theta, gamma, ref in _HOSEK_SPEC_ORACLE:
+        cfgs, rads = hosek.cook_state_spectral(turb, 0.25, elev)
+        got = hosek.radiance_spectral(cfgs, rads, np.asarray(theta),
+                                      np.asarray(gamma), lams)
+        assert np.allclose(got, np.asarray(ref), rtol=1e-6), (
+            turb, elev, theta, gamma, got, ref)
+
+
+def test_spectral_sky_bake_calibrated():
+    """bake_spectral's band stack resolves (through the spectral
+    pipeline's OWN camera response, core/spectrum.rgb_response) to the
+    same luminance as the kcd RGB bake — the unit contract the
+    hero-wavelength renderer relies on."""
+    from mitsuba_tpu.core import spectrum as S
+    import jax.numpy as jnp
+    rgb = sunsky.bake("sky", sun_dir=SUN, resolution=64)
+    spec = sunsky.bake_spectral("sky", sun_dir=SUN, resolution=64)
+    assert spec.shape == (32, 64, 11) and (spec >= 0).all()
+    assert np.allclose(spec[17:], 0.0)      # below horizon
+    lam = np.linspace(400.0, 700.0, 61)
+    pos = (lam - 320.0) / 40.0
+    lo = np.clip(np.floor(pos).astype(int), 0, 10)
+    f = pos - lo
+    mean_spec = spec.mean((0, 1))
+    L = mean_spec[lo] * (1 - f) + mean_spec[np.minimum(lo + 1, 10)] * f
+    resp = np.asarray(S.rgb_response(jnp.asarray(lam)))
+    resolved = np.trapezoid(resp * L[:, None], lam, axis=0)
+    lum_w = np.asarray([0.2126, 0.7152, 0.0722])
+    lum_spec = float(resolved @ lum_w)
+    lum_rgb = float((rgb @ lum_w).mean())
+    assert abs(lum_spec - lum_rgb) / lum_rgb < 0.02, (lum_spec, lum_rgb)
+
+
+def test_spectral_render_uses_true_sky(tmp_path):
+    """A sky-lit scene rendered with the hero-wavelength integrator and
+    the TRUE spectral stack agrees with the RGB path render in overall
+    magnitude (the calibration contract), while the stack itself is
+    genuinely non-RGB (differs from upsampling the RGB bake)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.integrators import common, path, spectral
+    from mitsuba_tpu.scene import xml as xmllib
+    p = tmp_path / "sky.xml"
+    p.write_text("""\
+<scene version="0.6.0">
+    <integrator type="path">
+        <integer name="maxDepth" value="3"/>
+    </integrator>
+    <sensor type="perspective">
+        <float name="fov" value="60"/>
+        <transform name="toWorld">
+            <lookat origin="0, 0.5, 3" target="0, 0.5, 0" up="0, 1, 0"/>
+        </transform>
+        <sampler type="independent">
+            <integer name="sampleCount" value="48"/>
+        </sampler>
+        <film type="hdrfilm">
+            <integer name="width" value="12"/>
+            <integer name="height" value="12"/>
+        </film>
+    </sensor>
+    <emitter type="sky">
+        <float name="turbidity" value="3"/>
+        <vector name="sunDirection" x="0" y="0.7" z="0.7"/>
+        <integer name="resolution" value="64"/>
+    </emitter>
+    <shape type="rectangle">
+        <transform name="toWorld">
+            <rotate x="1" angle="-90"/><scale value="4"/>
+        </transform>
+        <bsdf type="diffuse"><rgb name="reflectance" value="0.5, 0.5, 0.5"/></bsdf>
+    </shape>
+</scene>
+""")
+    scene, cam, cfg, _ = xmllib.load_xml(p)
+    assert scene.envmap is not None and scene.envmap.spectral is not None
+    img_rgb = np.asarray(common.render(scene, cam, path.li, cfg))
+    img_spec = np.asarray(common.render(scene, cam, spectral.li, cfg))
+    lum = np.asarray([0.2126, 0.7152, 0.0722])
+    lr, ls = float((img_rgb @ lum).mean()), float((img_spec @ lum).mean())
+    assert abs(ls - lr) / lr < 0.15, (ls, lr)

@@ -44,12 +44,26 @@ def main():
         parse_array(text, f"datasetRGBRad{c}").reshape(2, 10, 6)
         for c in (1, 2, 3)
     ])
+    # spectral datasets: 11 bands at 320..720 nm step 40 (the
+    # SPECTRUM_SAMPLES != 3 path of the published model)
+    bands = list(range(320, 721, 40))
+    spec_params = np.stack([
+        parse_array(text, f"dataset{b}").reshape(2, 10, 6, 9)
+        for b in bands
+    ])
+    spec_rad = np.stack([
+        parse_array(text, f"datasetRad{b}").reshape(2, 10, 6)
+        for b in bands
+    ])
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "mitsuba_tpu", "models", "data",
         "hosek_rgb.npz")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    np.savez_compressed(out, params=params, rad=rad)
-    print(f"wrote {out}: params {params.shape}, rad {rad.shape}")
+    np.savez_compressed(out, params=params, rad=rad,
+                        spec_params=spec_params, spec_rad=spec_rad,
+                        spec_bands=np.asarray(bands, np.float64))
+    print(f"wrote {out}: params {params.shape}, rad {rad.shape}, "
+          f"spectral {spec_params.shape}")
     print("spot checks:", params[0, 0, 0, 0, :3], rad[0, 0, 0, :3])
 
 

@@ -34,6 +34,9 @@ class DirectSample(NamedTuple):
     is_env: jax.Array     # (N,) bool
     is_delta: jax.Array   # (N,) bool — MIS weight must be 1 (point/spot/
     #                       directional can't be BSDF-sampled, emitter.h)
+    n_l: jax.Array = None  # (N,3) light-surface normal at the sampled
+    #                       point (area lights; zeros for env/delta) —
+    #                       consumers: subsurface exact refracted NEE
 
 
 # Probability of choosing the environment vs area lights when both exist.
@@ -254,8 +257,9 @@ def sample_direct(scene, ref_p: jax.Array, u3: jax.Array) -> DirectSample:
         dist = jnp.where(pick_env, m.INF * 0.1, dist)
         rad = jnp.where(pick_env[:, None], rad_env, rad)
         pdf = jnp.where(pick_env, pdf_env * env_p, pdf)
+    n_l = jnp.where((is_delta | pick_env)[:, None], 0.0, ng)
     return DirectSample(d=d, dist=dist, radiance=rad, pdf=pdf,
-                        is_env=pick_env, is_delta=is_delta)
+                        is_env=pick_env, is_delta=is_delta, n_l=n_l)
 
 
 # ---------------------------------------------------------------------------

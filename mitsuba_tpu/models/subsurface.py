@@ -177,18 +177,61 @@ def sss_exitant_radiance(params: DipoleParams, cache_pts, cache_E,
     return (1.0 - ft_o)[:, None] / jnp.pi * mo
 
 
+def _refracted_connection(eta, h, H, d_xy, iters: int = 28):
+    """Solve the planar refracted-connection root (Walter et al. 2009 /
+    singlescatter.cpp, reduced to the local tangent plane): find the
+    in-plane offset r of the exit point between the internal scatter
+    point (depth h below the interface) and the light point (height H
+    above, horizontal distance d_xy) satisfying Snell's law
+
+        eta * r / sqrt(r^2 + h^2) = (d_xy - r) / sqrt((d_xy-r)^2 + H^2).
+
+    f is monotone increasing on [0, d_xy] with f(0) <= 0 <= f(d_xy), so
+    bisection converges unconditionally; at the root sin(theta_out) =
+    eta sin(theta_in) <= 1, so total internal reflection never occurs
+    at a solution. Returns (r, df/dr at r) — the derivative feeds the
+    implicit-function Jacobian (bisection itself has zero derivative)."""
+
+    def f(r):
+        return (eta * r / jnp.sqrt(r * r + h * h)
+                - (d_xy - r) / jnp.sqrt((d_xy - r) ** 2 + H * H))
+
+    lo = jnp.zeros_like(d_xy)
+    hi = d_xy
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        neg = f(mid) < 0.0
+        return jnp.where(neg, mid, lo), jnp.where(neg, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    r = 0.5 * (lo + hi)
+    df = (eta * h * h / jnp.maximum((r * r + h * h) ** 1.5, 1e-20)
+          + H * H / jnp.maximum(((d_xy - r) ** 2 + H * H) ** 1.5, 1e-20))
+    return r, df
+
+
 def single_scatter_radiance(params: DipoleParams, scene, query_p, query_ns,
                             wo_world, cfg, n_samples: int = 4,
-                            seed_salt: int = 0x515C):
+                            seed_salt: int = 0x515C, exact_nee: bool = True):
     """Single-scattering BSSRDF term (src/subsurface/singlescatter.cpp,
-    Jensen et al. 2001 eq. 12, reduced): refract the outgoing ray into
-    the medium, sample a scatter depth s' ~ exp(sigma_t), connect to a
-    light with the refraction-corrected inside path length
-      s_i' = s_i |w_i.n| / sqrt(1 - (1/eta)^2 (1 - |w_i.n|^2)),
-    attenuate by exp(-sigma_t (s' + s_i')) and both Fresnel
-    transmittances. The reference additionally solves for the exact
-    refracted connection point (Walter-style root finding, 1695 LoC);
-    this uses Jensen's classical straight-ray approximation."""
+    Jensen et al. 2001 eq. 12): refract the outgoing ray into the
+    medium, sample a scatter depth s' ~ exp(sigma_t), connect to a
+    light, attenuate by exp(-sigma_t (s' + s_i)) and both Fresnel
+    transmittances.
+
+    exact_nee=True (default) solves for the EXACT refracted connection
+    point like the reference's Walter-style root finder
+    (singlescatter.cpp): the interface is taken as the local tangent
+    plane at the entry point, the Snell root is found by bisection
+    (_refracted_connection — exact for flat interfaces), and the
+    area-to-solid-angle Jacobian of the bent path comes from implicit
+    differentiation of the Snell condition (bisection's own derivative
+    is zero). Per-sample fallbacks to Jensen's classical straight-ray
+    approximation cover env/delta lights, lights below the interface,
+    and points where the real boundary departs >10% from the tangent
+    plane (curved surfaces — documented approximation)."""
     n = query_p.shape[0]
     eta = params.eta
     sigma_t = params.sigma_s + params.sigma_a
@@ -215,7 +258,7 @@ def single_scatter_radiance(params: DipoleParams, scene, query_p, query_ns,
         x_s = query_p + w_t * s_prime[:, None]
         u3 = jnp.stack([u(1), u(2), u(3)], -1)
         ds = emitterlib.sample_direct(scene, x_s, u3)
-        # observed inside distance: boundary hit from x_s toward the light
+        # --- classical straight-ray connection (fallback path) ----------
         its = trace.closest_hit(scene, x_s, ds.d)
         s_obs = jnp.where(its.valid, its.t, 0.0)
         cos_l = jnp.maximum(m.dot(ds.d, query_ns), 1e-4)
@@ -223,7 +266,6 @@ def single_scatter_radiance(params: DipoleParams, scene, query_p, query_ns,
             1.0 - (1.0 / eta) ** 2 * (1.0 - cos_l * cos_l), 1e-6))
         s_in = s_obs * cos_l / denom
         ft_i, _, _, _ = m.fresnel_dielectric(cos_l, jnp.asarray(eta))
-        # shadow from the exit point onward
         exit_p = x_s + ds.d * (s_obs + 1e-3)[:, None]
         blocked = trace.any_hit(scene, exit_p, ds.d,
                                 jnp.maximum(ds.dist - s_obs, 1e-3))
@@ -235,5 +277,87 @@ def single_scatter_radiance(params: DipoleParams, scene, query_p, query_ns,
              * ((1.0 - ft_i) * (1.0 - ft_o)
                 * m.safe_div(1.0, pdf_s * jnp.maximum(ds.pdf, 1e-12)))[:, None])
         ok = (ds.pdf > 0) & ~blocked & its.valid
-        L = L + jnp.where(ok[:, None], w * ds.radiance, 0.0)
+        contrib = jnp.where(ok[:, None], w * ds.radiance, 0.0)
+
+        if exact_nee:
+            contrib_e, ok_e = _exact_nee_contrib(
+                params, scene, query_p, query_ns, x_s, ds, s_prime,
+                pdf_s, ft_o, sigma_t, eta)
+            contrib = jnp.where(ok_e[:, None], contrib_e, contrib)
+        L = L + contrib
     return L / n_samples
+
+
+def _exact_nee_contrib(params, scene, query_p, query_ns, x_s, ds,
+                       s_prime, pdf_s, ft_o, sigma_t, eta):
+    """Exact refracted-connection NEE contribution for area-light
+    samples (see single_scatter_radiance docstring). Returns
+    (contrib (N,3), valid (N,))."""
+    nrm = query_ns
+    y = x_s + ds.d * ds.dist[:, None]
+    h = jnp.sum((query_p - x_s) * nrm, -1)
+    H = jnp.sum((y - query_p) * nrm, -1)
+    rel = y - x_s
+    vxy = rel - jnp.sum(rel * nrm, -1, keepdims=True) * nrm
+    d_xy = jnp.linalg.norm(vxy, axis=-1)
+    what = vxy / jnp.maximum(d_xy, 1e-12)[:, None]
+    h_s = jnp.maximum(h, 1e-5)
+    H_s = jnp.maximum(H, 1e-5)
+    r, dfdr = _refracted_connection(eta, h_s, H_s, d_xy)
+    s_i = jnp.sqrt(r * r + h_s * h_s)
+    q = d_xy - r
+    s_o = jnp.sqrt(q * q + H_s * H_s)
+    cos_o = H_s / s_o
+    x_e = x_s + what * r[:, None] + nrm * h_s[:, None]
+    w_in = (x_e - x_s) / jnp.maximum(s_i, 1e-9)[:, None]
+    w_out = (y - x_e) / jnp.maximum(s_o, 1e-9)[:, None]
+
+    # the real boundary along the bent inside leg must sit close to the
+    # tangent plane, else fall back to the classical estimate
+    its_b = trace.closest_hit(scene, x_s, w_in)
+    planar_ok = its_b.valid & (jnp.abs(its_b.t - s_i)
+                               < 0.1 * jnp.maximum(s_i, 1e-4))
+    blocked = trace.any_hit(scene, x_e + nrm * 1e-3, w_out,
+                            jnp.maximum(s_o - 2e-3, 1e-3))
+
+    ft_e, _, _, _ = m.fresnel_dielectric(jnp.maximum(cos_o, 1e-4),
+                                         jnp.asarray(eta))
+
+    # Jacobian |d omega_in / dA_y| by implicit differentiation of the
+    # Snell root: for a light-plane tangent t_k,
+    #   df = df/d(d_xy) * dd_xy + df/dH * dH;  dr = -df / (df/dr)
+    #   dx_e = what * dr + dwhat * r;  domega = P_perp(dx_e) / s_i
+    denom3 = jnp.maximum((q * q + H_s * H_s) ** 1.5, 1e-20)
+    df_ddxy = -(H_s * H_s) / denom3
+    df_dH = q * H_s / denom3
+    t1, t2 = m.coordinate_system(jnp.where(
+        jnp.linalg.norm(ds.n_l, axis=-1, keepdims=True) > 0.5,
+        ds.n_l, nrm))
+
+    def dmega(tk):
+        dH = jnp.sum(tk * nrm, -1)
+        dvxy = tk - dH[:, None] * nrm
+        dd_xy = jnp.sum(what * dvxy, -1)
+        dwhat = (dvxy - what * dd_xy[:, None])             / jnp.maximum(d_xy, 1e-9)[:, None]
+        dr = -(df_ddxy * dd_xy + df_dH * dH) / jnp.maximum(dfdr, 1e-12)
+        dx_e = what * dr[:, None] + dwhat * r[:, None]
+        dom = (dx_e - w_in * jnp.sum(w_in * dx_e, -1, keepdims=True))             / jnp.maximum(s_i, 1e-9)[:, None]
+        return dom
+
+    v1 = dmega(t1)
+    v2 = dmega(t2)
+    J = jnp.linalg.norm(jnp.cross(v1, v2), axis=-1)
+
+    cos_ly = jnp.abs(jnp.sum(ds.d * ds.n_l, -1))
+    p_area = ds.pdf * cos_ly / jnp.maximum(ds.dist * ds.dist, 1e-12)
+
+    phase = 1.0 / (4.0 * jnp.pi)
+    atten = jnp.exp(-sigma_t[None, :] * (s_prime + s_i)[:, None])
+    contrib = (params.sigma_s[None, :] * phase * atten * ds.radiance
+               * ((1.0 - ft_e) * (1.0 - ft_o) * J
+                  * m.safe_div(1.0, pdf_s * jnp.maximum(p_area, 1e-14))
+                  )[:, None])
+    valid = (~ds.is_env & ~ds.is_delta & (ds.pdf > 0)
+             & (H > 1e-4) & (h > 1e-5) & (cos_ly > 1e-4)
+             & planar_ok & ~blocked & jnp.isfinite(J) & (J > 0))
+    return contrib, valid

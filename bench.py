@@ -239,6 +239,11 @@ def _bigmesh_render_rays_per_sec(spp: int = 16, reps: int = 2):
 
     rays_per_sample = float(count_rays(scene, cam)) / (npix * count_spp)
 
+    # lanes_per_pixel=1 measured FASTER than 8 here (0.44M vs 0.37M
+    # rays/s): wider steps amortize dispatch overheads but mix
+    # camera/bounce generations in the regenerative wavefront, and the
+    # binned intersector's tile count grows with the mixed-set group
+    # unions — the coherence loss outweighs the amortization
     img = wavefront.render_jit(scene, cam, cfg)
     _np.asarray(img[:1, :1])
     t0 = time.perf_counter()

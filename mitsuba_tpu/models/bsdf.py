@@ -196,6 +196,20 @@ def _diffuse_transmitter_sample(sp, wi, u_lobe, u2):
     return wo, sp.reflectance, pdf, jnp.zeros(wi.shape[:-1], bool)
 
 
+def _safe_half(v):
+    """Half-vector with a degenerate guard: wi + wo can be the zero
+    vector on masked lanes (wo = -wi at grazing/backside NEE samples);
+    normalize(0) = 0/0 would be a NaN PRIMAL there, and even though the
+    lane's output is where()-masked, reverse-mode evaluates the
+    d(microfacet)/d(alpha) chain AT that NaN and 0 * NaN poisons the
+    alpha gradients. Degenerate lanes get +z (their f/pdf are masked)."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = n2 > 1e-18
+    safe = v * jax.lax.rsqrt(jnp.where(ok, n2, 1.0))
+    z = jnp.zeros_like(v).at[..., 2].set(1.0)
+    return jnp.where(ok, safe, z)
+
+
 def _conductor_sample(sp, wi, u_lobe, u2):
     """src/bsdfs/conductor.cpp — smooth mirror with conductor Fresnel."""
     wo = m.reflect_local(wi)
@@ -210,7 +224,7 @@ def _rough_conductor_eval(sp, wi, wo):
     """src/bsdfs/roughconductor.cpp eval/pdf (anisotropic alphaU/alphaV,
     GGX lanes pdf-matched to VNDF sampling)."""
     ok = _both_sides_pos(wi, wo)
-    h = m.normalize(wi + wo)
+    h = _safe_half(wi + wo)
     dist = sp.extra[..., 3].astype(jnp.int32)
     au, av = sp.alpha[..., 0], sp.alpha[..., 1]
     d = mf.d_eval(dist, au, h, av)
@@ -428,8 +442,8 @@ def _rough_dielectric_eval(sp, wi, wo):
     eta_it = jnp.where(ci >= 0, eta, 1.0 / eta)
 
     # half vectors (Walter eq. 13/16), oriented to the +z hemisphere
-    h_r = m.normalize(wi + wo)
-    h_t = m.normalize(-(wi + wo * eta_it[..., None]))
+    h_r = _safe_half(wi + wo)
+    h_t = _safe_half(-(wi + wo * eta_it[..., None]))
     h = jnp.where(reflect[..., None], h_r, h_t)
     h = h * jnp.sign(m.cos_theta(h) + 1e-20)[..., None]
 
@@ -505,7 +519,7 @@ def _rough_plastic_eval(sp, wi, wo):
     eta = sp.eta[..., 0]
     # specular microfacet lobe (already includes the 1/cos_o, so the eval
     # convention f*|cos_o| gives F D G / (4 ci))
-    h = m.normalize(wi + wo)
+    h = _safe_half(wi + wo)
     d_h = mf.d_eval(dist, alpha, h)
     g = mf.g_eval(dist, alpha, wi, wo, h)
     fr_h, _, _, _ = m.fresnel_dielectric(m.dot(wi, h), eta)
@@ -696,7 +710,7 @@ def _coating_eval(sp, wi, wo, families):
     same_side = m.cos_theta(wi) * m.cos_theta(wo) > 0.0
     sgn = jnp.where(m.cos_theta(wi) >= 0.0, 1.0, -1.0)[..., None]
     wi_up, wo_up = wi * sgn, wo * sgn
-    h = m.normalize(wi_up + wo_up)
+    h = _safe_half(wi_up + wo_up)
     dist = sp.extra[..., 3].astype(jnp.int32)
     d_h = mf.d_eval(dist, alpha_c, h)
     g_h = mf.g_eval(dist, alpha_c, wi_up, wo_up, h)

@@ -49,8 +49,8 @@ class Medium:
 def make_homogeneous(sigma_s, sigma_a, g=0.0,
                      phase: int = phaselib.PHASE_HG,
                      phase_params: tuple = ()) -> Medium:
-    sigma_s = jnp.asarray(sigma_s, jnp.float32)
-    sigma_a = jnp.asarray(sigma_a, jnp.float32)
+    sigma_s = jnp.asarray(sigma_s, jnp.float32) * jnp.ones(3, jnp.float32)
+    sigma_a = jnp.asarray(sigma_a, jnp.float32) * jnp.ones(3, jnp.float32)
     sigma_t = sigma_s + sigma_a
     albedo = jnp.where(sigma_t > 0, sigma_s / jnp.maximum(sigma_t, 1e-20), 0.0)
     return Medium(

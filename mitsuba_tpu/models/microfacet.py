@@ -40,9 +40,15 @@ def d_eval(dist: jax.Array, alpha_u, h: jax.Array,
     ct2 = ct * ct
     x2 = h[..., 0] * h[..., 0]
     y2 = h[..., 1] * h[..., 1]
+    # clamp: at grazing h (ct ~ 1e-5) the Beckmann denominator's square
+    # UNDERFLOWS f32 inside safe_div's derivative (den^2 ~ 1e-40 -> 0)
+    # and the tangent becomes 0/0 = NaN even though the value is a clean
+    # 0; with ct2 >= 1e-8 the value is still exp(-1e9) = 0 but the
+    # adjoint stays finite (poisoned alpha gradients otherwise)
+    ct2b = jnp.maximum(ct2, 1e-8)
     beck = m.safe_div(
-        jnp.exp(-m.safe_div(x2 / (au * au) + y2 / (av * av), ct2)),
-        jnp.pi * au * av * ct2 * ct2)
+        jnp.exp(-m.safe_div(x2 / (au * au) + y2 / (av * av), ct2b)),
+        jnp.pi * au * av * ct2b * ct2b)
     root = x2 / (au * au) + y2 / (av * av) + ct2
     ggx = m.safe_div(1.0, jnp.pi * au * av * root * root)
     d = jnp.where(dist == 1, ggx, beck)
@@ -67,7 +73,11 @@ def smith_g1(dist: jax.Array, alpha_u, v: jax.Array, h: jax.Array,
     cv = m.cos_theta(v)
     # sidedness check: v must be on the same side as h
     chi = (m.dot(v, h) * cv) > 0.0
-    tan_t = jnp.abs(m.tan_theta(v))
+    # clamp: at grazing v, tan -> inf gives a CORRECT value (G1 -> 0)
+    # but an INFINITE adjoint w.r.t. alpha (d(at2)/dalpha ~ alpha*inf^2),
+    # which poisons roughness gradients through lanes that still pass
+    # the cos>0 masks; 1e8 keeps at2 finite with G1 ~ 1e-8 there
+    tan_t = jnp.minimum(jnp.abs(m.tan_theta(v)), 1e8)
     a = m.safe_div(1.0, alpha * tan_t)
     # Beckmann rational approximation (Walter et al.)
     beck = jnp.where(

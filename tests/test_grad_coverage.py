@@ -58,21 +58,36 @@ def test_gradient_wrt_medium_albedo():
 
 
 def test_gradient_wrt_roughness():
-    """d(image)/d(alpha) of a rough conductor floor vs FD."""
+    """d(image)/d(alpha) of a rough-conductor floor vs FD. The material
+    must be rough-conductor at BUILD time: the bsdf family set is static
+    (masked SIMD dispatch), so flipping `type` at runtime would dispatch
+    to nothing."""
+    import numpy as _np
     from mitsuba_tpu.scene import ir
-    scene, cam = builtin.cornell_box(width=16, height=16)
-    mats = scene.materials
-    # make material 0 (the white walls/floor) a rough conductor
-    new_type = mats.type.at[0].set(ir.BSDF_ROUGH_CONDUCTOR)
-    cfg = common.RenderConfig(spp=32, max_depth=3, seed=7)
+    verts = _np.asarray([[-2, 0, -2], [-2, 0, 2], [2, 0, 2], [2, 0, -2],
+                         [-0.4, 1.5, -0.4], [0.4, 1.5, -0.4],
+                         [0.4, 1.5, 0.4], [-0.4, 1.5, 0.4]], _np.float32)
+    tris = _np.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]],
+                       _np.int32)
+    scene = ir.build_scene(
+        verts, tris, _np.zeros(4, _np.int32),
+        [{"type": ir.BSDF_ROUGH_CONDUCTOR, "alpha": [0.25, 0.25],
+          "eta": [0.2, 0.92, 1.1], "k": [3.9, 2.45, 2.14]}],
+        tri_radiance={2: [8.0] * 3, 3: [8.0] * 3})
+    from mitsuba_tpu.models import sensor as sensorlib
+    cam = sensorlib.make_camera(origin=[0, 1.0, 2.5], target=[0, 0, 0],
+                                fov_x=50.0, width=16, height=16)
 
-    def loss(alpha):
-        m2 = mats.replace(type=new_type,
-                          alpha=mats.alpha.at[0].set(alpha))
-        return jnp.mean(common.render(scene.replace(materials=m2), cam,
-                                      path.li, cfg))
+    def loss_at(spp):
+        def loss(alpha):
+            m2 = scene.materials.replace(
+                alpha=scene.materials.alpha.at[0].set(alpha))
+            cfg = common.RenderConfig(spp=spp, max_depth=2, seed=7)
+            return jnp.mean(common.render(scene.replace(materials=m2),
+                                          cam, path.li, cfg))
+        return loss
 
-    _fd_check(loss, 0.25, 0.02, 0.15)
+    _fd_check(loss_at(48), 0.25, 0.05, 0.15, fd_loss=loss_at(192))
 
 
 def test_gradient_through_binned_intersector():
@@ -142,8 +157,8 @@ def test_gradient_through_binned_intersector():
         l0 = float(loss(refl0))
     g_val = np.asarray(g_val)
     assert np.isfinite(g_val).all() and abs(g_val[0]).max() > 1e-4
-    # linear in reflectance: grad sums to loss value
-    assert np.isclose(g_val.sum(), l0, rtol=1e-4)
+    # loss is linear in the reflectance: sum_c dL/drefl_c * refl_c = L
+    assert np.isclose(g_val.sum() * 0.6, l0, rtol=1e-4), (g_val.sum(), l0)
 
 
 def test_sharded_gradient_matches_unsharded(request):

@@ -316,6 +316,10 @@ def li_grad(scene, cam, o, d, stream, cfg: RenderConfig,
         beta_new = beta * weight
         alive = active & (t < cfg.max_depth - 1) & (pdf > 0.0) & (
             jax.lax.stop_gradient(jnp.max(beta_new, -1)) > 0.0)
+        # RR without the eta^2 scale path.li carries: the replay walk is
+        # its own estimator of the boundary sum (any self-consistent RR
+        # is unbiased here); dielectric chains differ from path.li's
+        # survival decisions but both are valid sample distributions
         q = jnp.minimum(jax.lax.stop_gradient(
             jnp.max(beta_new, -1)), 0.95)
         q = jax.lax.stop_gradient(jnp.maximum(q, 0.05))

@@ -34,14 +34,6 @@ def _version_tuple(v: str):
         return (0, 6, 0)
 
 
-def _rename_param(parent, bsdf_pred, old, new):
-    for el in parent.iter():
-        if bsdf_pred(el):
-            for c in el:
-                if c.attrib.get("name") == old:
-                    c.attrib["name"] = new
-
-
 def _scale_reflectance(bsdf, name, amount):
     """Fold diffuse/specularAmount into the reflectance value (the
     xsl's mode="scaled"); numeric colors scale in place, textures wrap

@@ -226,3 +226,39 @@ def test_primary_silhouette_gradient():
 
     g = np.mean([float(jax.grad(loss)(0.0, s)) for s in (3, 11)])
     assert abs(g - fd) < 0.15 * abs(fd), (g, fd)
+
+
+@pytest.mark.slow
+def test_inverse_rendering_recovers_blocker_position():
+    """End-to-end use of the north-star capability: gradient-descend the
+    blocker's x-translation from a wrong initialization to match a
+    target image. Plain AD has zero signal here (the image depends on
+    the blocker ONLY through occlusion); with the edge-sampled boundary
+    terms the optimization walks the shadow into place."""
+    scene, cam = shadow_scene()
+    cfg = common.RenderConfig(spp=32, max_depth=2, seed=5)
+    target = common.render(scene, cam, path.li,
+                           common.RenderConfig(spp=256, max_depth=2,
+                                               seed=13))
+    bc = boundary.BoundaryConfig(n_edge=8, primary=False)
+
+    def loss(theta, seed):
+        s = scene.replace(vertices=scene.vertices
+                          .at[BLOCKER_ROWS[0]:BLOCKER_ROWS[1], 0]
+                          .add(theta))
+        c = common.RenderConfig(spp=cfg.spp, max_depth=2, seed=seed)
+        img = common.render(
+            s, cam, lambda s_, c_, o, d, st, cf:
+            boundary.li_grad(s_, c_, o, d, st, cf, bc), c)
+        return jnp.mean((img - target) ** 2)
+
+    gl = jax.jit(jax.value_and_grad(loss))
+    theta = 0.12                     # start with the shadow well inside
+    lr = 2.5                         # the frame (larger offsets leave
+    for it in range(14):             # the view -> loss plateau)
+        val, g = gl(theta, it + 1)
+        theta = float(np.clip(theta - lr * float(g), -0.6, 0.6))
+        lr *= 0.85
+    # recovered to within a sixth of the initial offset (measured:
+    # settles at |theta| ~ 0.03 with this schedule)
+    assert abs(theta) < 0.08, theta

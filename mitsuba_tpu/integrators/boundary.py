@@ -27,7 +27,12 @@ emission; the far side is traced). Silhouette terms of BSDF-sampled
 (indirect) rays are approximated at the same emission-difference
 order; camera-silhouette terms are handled by `primary_boundary_image`
 (an image-space splat pass — see `render_grad`) with a direct-lighting
-lookahead. Compare the reference fork's unused
+lookahead. Scalability note: edges are sampled length-uniformly from
+the WHOLE mesh; on large meshes most samples miss the silhouette set
+and variance grows with total edge length — importance sampling by
+silhouette likelihood (e.g. the light-cone projection used by
+edge-hierarchy methods) is the known next step and is not implemented.
+Compare the reference fork's unused
 autodiff tier (include/mitsuba/core/autodiff.h:72) — the reference has
 no discontinuity handling at all.
 """

@@ -180,3 +180,34 @@ def test_tpu_render_matches_cpu_golden():
     # RR/termination order flips a sample between backends
     assert float(err.mean()) < 0.015, float(err.mean())
     assert float((err > 0.1).mean()) < 0.01, float((err > 0.1).mean())
+
+
+def test_tpu_vertex_boundary_gradient():
+    """On-chip differentiability smoke: jax.grad of the edge-sampled
+    boundary estimator (integrators/boundary.py) w.r.t. blocker
+    vertices, with the real (non-interpret) compute path. The CPU suite
+    FD-validates the values; here we pin that the scatter/gather-heavy
+    boundary passes compile and produce a finite, clearly-nonzero
+    occlusion gradient on the TPU backend."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_vertex_grad import BLOCKER_ROWS, shadow_scene
+    from mitsuba_tpu.integrators import boundary, common
+
+    scene, cam = shadow_scene()
+    bc = boundary.BoundaryConfig(n_edge=4, primary=False)
+
+    def loss(theta):
+        s = scene.replace(vertices=scene.vertices
+                          .at[BLOCKER_ROWS[0]:BLOCKER_ROWS[1], 0]
+                          .add(theta))
+        cfg = common.RenderConfig(spp=16, max_depth=2, seed=3)
+        img = common.render(
+            s, cam, lambda s_, c_, o, d, st, cf:
+            boundary.li_grad(s_, c_, o, d, st, cf, bc), cfg)
+        return jnp.mean(img)
+
+    g = float(jax.grad(loss)(0.0))
+    # the shadow moves right out of the frame: strongly negative
+    assert np.isfinite(g) and g < -0.1, g

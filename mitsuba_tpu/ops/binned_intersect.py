@@ -154,6 +154,19 @@ class Clusters:
     #                        cluster slab gate (dead clusters skip the
     #                        whole VPU post-pass, the measured
     #                        bottleneck)
+    w_abs_uv: jax.Array    # (16, (G+1)*GROUP*2*CSIZE) bf16 = |bf16(w)|
+    #                        restricted to the u|v column pairs. The
+    #                        noise-band GEMM only ever reads the u,v
+    #                        slices of mag, so the kernel computes mag
+    #                        at HALF width from this table — same band
+    #                        values, half the mag materialization
+    #                        (measured +20% on coherent tiles, whose
+    #                        post-pass is mostly gated off; incoherent
+    #                        tiles are post-compute-bound: no change)
+    w_hi: jax.Array        # (16, (G+1)*GROUP*4*CSIZE) bf16 = bf16(w)
+    w_lo: jax.Array        # bf16(w - f32(w_hi)) — the split-precision
+    #                        operands prebuilt so the kernel skips the
+    #                        per-tile f32 read + split conversion
     n_clusters: int = struct.field(pytree_node=False, default=1)
     n_groups: int = struct.field(pytree_node=False, default=1)
 
@@ -222,10 +235,21 @@ def build_clusters(scene) -> Clusters:
                  axis=2).reshape(16, c * 4 * CSIZE)
     w = np.concatenate(
         [w, np.zeros((16, GROUP * 4 * CSIZE), np.float32)], axis=1)
+    # prebuilt split-precision operands (exactly the values the kernel
+    # used to derive per tile: hi = bf16(w), lo = bf16(w - f32(hi)))
+    w_j = jnp.asarray(w)
+    w_hi = w_j.astype(jnp.bfloat16)
+    w_lo = (w_j - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # |bf16(w)| of the u,v columns only ([det|t|u|v] -> slots 2,3): the
+    # exact operand the kernel's noise-band dot used when it computed
+    # the full-width mag, so band values are bit-identical
+    wa = jnp.abs(w_hi).reshape(16, -1, 4, CSIZE)[:, :, 2:4, :] \
+        .reshape(16, -1)
     return Clusters(
-        w=jnp.asarray(w), cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
+        w=w_j, cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
         tri_id=jnp.asarray(tri_id), gbox=jnp.asarray(gbox),
-        cbox=jnp.asarray(cbox), n_clusters=int(c), n_groups=int(g))
+        cbox=jnp.asarray(cbox), w_abs_uv=wa, w_hi=w_hi, w_lo=w_lo,
+        n_clusters=int(c), n_groups=int(g))
 
 
 def _safe_inv(d):
@@ -297,8 +321,13 @@ def _subrow_mask(cl: Clusters, o, d, tmax):
 def _make_kernel(n_groups: int):
     from jax.experimental import pallas as pl
 
-    def _kernel(s_ref, od_ref, w_ref, bbox_ref, cbox_ref,
-                key_ref, grp_ref, key2_ref, grp2_ref, scr_ref):
+    def _kernel(s_ref, od_ref, *refs):
+        if SPLIT_BF16:
+            (wh_ref, wl_ref, wa_ref, bbox_ref, cbox_ref,
+             key_ref, grp_ref, key2_ref, grp2_ref, scr_ref) = refs
+        else:
+            (w_ref, bbox_ref, cbox_ref,
+             key_ref, grp_ref, key2_ref, grp2_ref, scr_ref) = refs
         """One (128-ray sub-row x group) tile: advance each ray to the
         group's bbox entry, build the 16-dim feature vector in the
         group's local frame, run a single dense K=16 MXU pass testing
@@ -329,7 +358,6 @@ def _make_kernel(n_groups: int):
         def _():
             srow = tsub - tb * SUBROWS
             od = od_ref[...]                                   # (8, 128)
-            w = w_ref[...]                                     # (16, 4096)
             bb = bbox_ref[...]                                 # (8, 128)
             o3 = od[0:3]
             d3 = od[3:6]
@@ -357,8 +385,8 @@ def _make_kernel(n_groups: int):
                 phi_hi = phi.astype(jnp.bfloat16)
                 phi_lo = (phi - phi_hi.astype(jnp.float32)) \
                     .astype(jnp.bfloat16)
-                w_hi = w.astype(jnp.bfloat16)
-                w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                w_hi = wh_ref[...]                             # (16, 4096)
+                w_lo = wl_ref[...]
 
                 def dot(a, b):
                     # precision pinned: the manual bf16x3 split IS the
@@ -372,14 +400,18 @@ def _make_kernel(n_groups: int):
                 out = dot(phi_hi, w_hi) + dot(phi_hi, w_lo) \
                     + dot(phi_lo, w_hi)                        # (128, 4096)
                 # per-(ray, triangle) noise band: the exact sum of term
-                # magnitudes (one more bf16 matmul — see DELTA_SPLIT)
-                mag = DELTA_SPLIT * dot(jnp.abs(phi_hi), jnp.abs(w_hi))
+                # magnitudes (one more bf16 matmul — see DELTA_SPLIT).
+                # Only the u,v columns are ever read, so the dot runs at
+                # HALF width against the prebuilt |bf16(w)| u|v table:
+                # identical band values, half the mag VMEM traffic.
+                mag = DELTA_SPLIT * dot(jnp.abs(phi_hi),
+                                        wa_ref[...])           # (128, 2048)
             else:
                 out = jax.lax.dot_general(
-                    phi, w, (((0,), (0,)), ((), ())),
+                    phi, w_ref[...], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)       # (128, 4096)
-                mag = jnp.zeros_like(out)
+                mag = jnp.zeros((128, GROUP * 2 * CSIZE), out.dtype)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (128, CSIZE), 1)
             cb = cbox_ref[...]                                 # (8, 1024)
             scr_ref[...] = jnp.full((8, 128), MISS_KEY, jnp.int32)
@@ -398,6 +430,7 @@ def _make_kernel(n_groups: int):
                 @pl.when(jnp.any(okj))
                 def _(j=j):
                     b = j * 4 * CSIZE
+                    b2 = j * 2 * CSIZE
                     det = out[:, b + 0 * CSIZE:b + 1 * CSIZE]
                     t_num = out[:, b + 1 * CSIZE:b + 2 * CSIZE]
                     u_num = out[:, b + 2 * CSIZE:b + 3 * CSIZE]
@@ -409,9 +442,9 @@ def _make_kernel(n_groups: int):
                     a = jnp.abs(det)
                     cap = BARY_CAP * a
                     eps_a = I.BARY_EPS * a
-                    mu = jnp.minimum(mag[:, b + 2 * CSIZE:b + 3 * CSIZE]
+                    mu = jnp.minimum(mag[:, b2 + 0 * CSIZE:b2 + 1 * CSIZE]
                                      + eps_a, cap)
-                    mv = jnp.minimum(mag[:, b + 3 * CSIZE:b + 4 * CSIZE]
+                    mv = jnp.minimum(mag[:, b2 + 1 * CSIZE:b2 + 2 * CSIZE]
                                      + eps_a, cap)
                     w_num = det - u_num - v_num
                     mw = mu + mv
@@ -493,13 +526,28 @@ def _dispatch_tiles(cl: Clusters, o, d, packed):
 
     out_spec = pl.BlockSpec((SUBROWS, 128), lambda i, s: (s[i] >> 19, 0))
     out_shape = jax.ShapeDtypeStruct(((nb + 1) * SUBROWS, 128), jnp.int32)
+    if SPLIT_BF16:
+        # prebuilt bf16 hi/lo + half-width |w| band table — the f32 w
+        # block is neither copied nor converted per tile
+        w_specs = [
+            pl.BlockSpec((16, GROUP * 4 * CSIZE),
+                         lambda i, s: (0, s[i] & 0xFFFF)),
+            pl.BlockSpec((16, GROUP * 4 * CSIZE),
+                         lambda i, s: (0, s[i] & 0xFFFF)),
+            pl.BlockSpec((16, GROUP * 2 * CSIZE),
+                         lambda i, s: (0, s[i] & 0xFFFF)),
+        ]
+        w_args = (cl.w_hi, cl.w_lo, cl.w_abs_uv)
+    else:
+        w_specs = [pl.BlockSpec((16, GROUP * 4 * CSIZE),
+                                lambda i, s: (0, s[i] & 0xFFFF))]
+        w_args = (cl.w,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(packed.shape[0],),
-        in_specs=[
-            pl.BlockSpec((8, 128), lambda i, s: (0, s[i] >> 16)),
-            pl.BlockSpec((16, GROUP * 4 * CSIZE),
-                         lambda i, s: (0, s[i] & 0xFFFF)),
+        in_specs=[pl.BlockSpec((8, 128), lambda i, s: (0, s[i] >> 16))]
+        + w_specs
+        + [
             pl.BlockSpec((8, 128), lambda i, s: (0, s[i] & 0xFFFF)),
             pl.BlockSpec((8, GROUP * 128), lambda i, s: (0, s[i] & 0xFFFF)),
         ],
@@ -514,7 +562,7 @@ def _dispatch_tiles(cl: Clusters, o, d, packed):
         _make_kernel(G),
         grid_spec=grid_spec,
         out_shape=[out_shape] * 4,
-    )(packed, od_x, cl.w, cl.gbox, cl.cbox)
+    )(packed, od_x, *w_args, cl.gbox, cl.cbox)
 
 
 def _closest_key_chunk(cl: Clusters, o, d, tmax):

@@ -267,12 +267,16 @@ def ray_sort_perm(cl: Clusters, o, d, tmax):
     ideal (per-ray) activity of ~0.035 — i.e. ~8x wasted MXU+post work
     because the 128 rays of a sub-row enter the UNION of their group
     sets. v6 sorts by the *exact entry signature* instead: the (first,
-    last) group-id entered along the ray plus the entered-group count,
-    with a direction cell as tiebreak (helps the kernel's per-cluster
-    slab gate). Rays with identical signatures form runs whose sub-rows
-    test exactly their own groups; the per-ray group test is a fused
-    reduce over G (the (N, G) map never materializes). Rays entering
-    nothing sort to the end, so their blocks are skipped entirely.
+    last) group-id entered along the ray, then a 31-bit occupancy
+    SKETCH of the full entered-group set (group ids scaled onto the 31
+    bit slots — tools/probe_sort.py measured the sketch tiebreak at
+    -17% live tiles incoherent / -6% coherent vs a (count, cell)
+    tiebreak, within 2.1x of the per-ray ideal), then a direction cell
+    (helps the kernel's per-cluster slab gate). Rays with identical
+    signatures form runs whose sub-rows test exactly their own groups;
+    the per-ray group test is a fused reduce over G (the (N, G) map
+    never materializes). Rays entering nothing sort to the end, so
+    their blocks are skipped entirely.
     """
     G = cl.n_groups
     gmin = cl.cmin.reshape(G, GROUP, 3).min(1)       # (G, 3); pads are
@@ -287,6 +291,12 @@ def ray_sort_perm(cl: Clusters, o, d, tmax):
     first = jnp.min(jnp.where(enters, gid, G), axis=0)           # (N,)
     last = jnp.max(jnp.where(enters, gid, -1), axis=0)
     cnt = jnp.minimum(jnp.sum(enters, axis=0), 63)
+    # 31-bit occupancy sketch of the entered-group set (scaled slots
+    # keep Morton-adjacent groups on adjacent bits)
+    shift = 30 - (gid * 31) // max(G, 1)
+    sketch = jax.lax.reduce(
+        jnp.where(enters, jnp.int32(1) << shift, 0),
+        jnp.int32(0), jax.lax.bitwise_or, (0,))                  # (N,)
     # primary: the signature; secondary: direction cell + origin morton
     # so equal-signature runs stay spatially coherent for the gates
     primary = first * jnp.int32(MAX_GROUPS) + jnp.maximum(last, 0)
@@ -298,7 +308,7 @@ def ray_sort_perm(cl: Clusters, o, d, tmax):
     dcell = (qd[:, 0] << 6) | (qd[:, 1] << 3) | qd[:, 2]
     ocell = (qi[:, 0] << 10) | (qi[:, 1] << 5) | qi[:, 2]
     secondary = (cnt << 24) | (dcell << 15) | ocell
-    return jnp.lexsort((secondary, primary))
+    return jnp.lexsort((secondary, sketch, primary))
 
 
 def _subrow_mask(cl: Clusters, o, d, tmax):

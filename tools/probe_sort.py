@@ -69,7 +69,6 @@ def main():
 
         # A: current (first,last | cnt,dcell,ocell) — replicate keys
         qd = ((d * 0.5 + 0.5) * 7.999).astype(np.int64)
-        gmin = e.shape and None  # noqa: F841 (placeholder)
         lo = o.min(0)
         hi = o.max(0)
         q = np.clip((o - lo) / np.maximum(hi - lo, 1e-9), 0, 1)

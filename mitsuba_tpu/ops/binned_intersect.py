@@ -578,7 +578,13 @@ def _dispatch_tiles(cl: Clusters, o, d, packed):
 def _closest_key_chunk(cl: Clusters, o, d, tmax):
     """One pallas dispatch over a BLOCK-multiple ray batch whose
     nsub * G fits TILE_BUDGET. Returns (key1, grp1, key2, grp2) in
-    batch order — the two best candidate triangles per ray."""
+    batch order — the two best candidate triangles per ray.
+
+    Two-tier tile list: the grid is static, so dummy steps beyond the
+    live tiles still cost ~0.15 us each; coherent batches light only a
+    few % of the nsub*G slots (~10 ms of dummies per 2^17 at G=69).
+    When the live count fits a quarter-size list, a lax.cond dispatches
+    the compact variant instead (same kernel, smaller grid)."""
     n = o.shape[0]
     G = cl.n_groups
     nb = n // BLOCK
@@ -594,7 +600,16 @@ def _closest_key_chunk(cl: Clusters, o, d, tmax):
     tg = jnp.where(live, tidx % G, G).astype(jnp.int32)
     packed = (tsub << 16) | tg
 
-    keys, grps, keys2, grps2 = _dispatch_tiles(cl, o, d, packed)
+    small = maxt // 4
+    if small >= SUBROWS * 8:
+        # live tiles come first (nonzero preserves order), so when they
+        # fit the quarter-size list the tail is all dummies — drop it
+        keys, grps, keys2, grps2 = jax.lax.cond(
+            jnp.sum(submask) <= small,
+            lambda _: _dispatch_tiles(cl, o, d, packed[:small]),
+            lambda _: _dispatch_tiles(cl, o, d, packed), 0)
+    else:
+        keys, grps, keys2, grps2 = _dispatch_tiles(cl, o, d, packed)
 
     # ray blocks that never got a tile are never written by the kernel
     block_dead = jnp.repeat(

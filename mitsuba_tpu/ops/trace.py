@@ -17,6 +17,11 @@ with a hardware-aware policy:
 This is the round-2 measured answer to SURVEY §2.2's ShapeKDTree: on this
 hardware the systolic array beats tree pointer-chasing for any scene whose
 GEMM tables fit comfortably in HBM bandwidth per bounce.
+
+Crossover (re-measured r4, VERDICT r3 item 1): at 70k tris the binned
+path now wins BOTH regimes — 0.70M rays/s incoherent vs the fused VPU
+brute's 0.64M (r2 table), 2.7M coherent — so the policy boundary at
+PALLAS_BRUTE_MAX_TRIS picks the faster backend on each side of it.
 """
 from __future__ import annotations
 

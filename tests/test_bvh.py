@@ -365,3 +365,57 @@ def test_binned_sharded_matches_unsharded():
                        rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(prim_s)[both],
                           np.asarray(single.prim)[both])
+
+
+def test_binned_two_tier_both_branches():
+    """The two-tier tile dispatch (lax.cond on the live-tile count,
+    _closest_key_chunk) must agree with brute on BOTH branches: a
+    narrow beam (compact quarter-size list) and wide chords (full
+    list). The test checks which branch each workload takes via the
+    same live-tile count the cond uses. Interpret mode on CPU."""
+    from mitsuba_tpu.ops import binned_intersect as bi
+    from mitsuba_tpu.ops import intersect as isect
+    from mitsuba_tpu.scene import ir as irlib
+
+    v, f = _bunny_or_synthetic()
+    scene = irlib.build_scene(v, f, np.zeros(len(f), np.int32),
+                              [{"type": irlib.BSDF_DIFFUSE}])
+    cl = bi.build_clusters(scene)
+    lo, hi = v.min(0), v.max(0)
+    center = jnp.asarray((lo + hi) / 2)
+    radius = float(np.linalg.norm(hi - lo) / 2)
+    n = 4 * bi.BLOCK          # nsub*G large enough that the cond exists
+    nsub = n // 128
+    small = nsub * cl.n_groups // 4
+    assert small >= bi.SUBROWS * 8, "fixture too small to reach the cond"
+
+    # compact branch: a tight beam down onto one corner patch
+    key = jax.random.PRNGKey(11)
+    xz = jax.random.uniform(key, (n, 2), minval=-0.9, maxval=-0.82)
+    o_c = jnp.stack([xz[:, 0], jnp.full((n,), 2.0), xz[:, 1]], -1)
+    d_c = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+
+    # full branch: chords from all over the bounding sphere
+    k1, k2 = jax.random.split(key)
+    a = jax.random.normal(k1, (n, 3))
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b = jax.random.normal(k2, (n, 3))
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    o_f = center + a * 2.0 * radius
+    d_f = center + b * radius * 0.5 - o_f
+    d_f = d_f / jnp.linalg.norm(d_f, axis=-1, keepdims=True)
+
+    tmax = jnp.full((n,), 3e37)
+    seen = []
+    for o, d in ((o_c, d_c), (o_f, d_f)):
+        perm = bi.ray_sort_perm(cl, o, d, tmax)
+        live = int(jnp.sum(bi._subrow_mask(cl, o[perm], d[perm],
+                                           tmax[perm])))
+        seen.append(live <= small)
+        ref = isect.intersect_brute(scene, o, d)
+        its = _interp(bi.closest_hit)(scene, cl, o, d)
+        assert np.array_equal(np.asarray(its.valid), np.asarray(ref.valid))
+        both = np.asarray(its.valid)
+        assert np.allclose(np.asarray(its.t)[both], np.asarray(ref.t)[both],
+                           rtol=1e-4, atol=1e-5)
+    assert seen == [True, False], seen  # each branch exercised once

@@ -228,27 +228,46 @@ def build_clusters(scene) -> Clusters:
     e1 = np.concatenate([(p1 - p0)[order], np.zeros((pad, 3), np.float32)])
     e2 = np.concatenate([(p2 - p0)[order], np.zeros((pad, 3), np.float32)])
     po = po - np.repeat(gcen, GROUP * CSIZE, axis=0)
-    w_det, w_t, w_u, w_v = (np.asarray(a) for a in I._gemm_coeffs(
-        jnp.asarray(po), jnp.asarray(e1), jnp.asarray(e2)))
+    # run the coefficient math on the HOST cpu device: on the tunneled
+    # TPU backend the eager op-by-op dispatch + multi-hundred-MB
+    # fetches made a 1.1M-tri build take ~2.5 min; host-side it is
+    # seconds, and only the finished tables ship to the device once
+    try:
+        _host = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        _host = None
+    if _host is not None:
+        with jax.default_device(_host):
+            coeffs = I._gemm_coeffs(jax.device_put(po, _host),
+                                    jax.device_put(e1, _host),
+                                    jax.device_put(e2, _host))
+            w_det, w_t, w_u, w_v = (np.asarray(a) for a in coeffs)
+    else:
+        w_det, w_t, w_u, w_v = (np.asarray(a) for a in I._gemm_coeffs(
+            jnp.asarray(po), jnp.asarray(e1), jnp.asarray(e2)))
     # (16, c*CSIZE) each -> (16, c, 4, CSIZE) -> (16, c*4*CSIZE)
     w = np.stack([a.reshape(16, c, CSIZE) for a in (w_det, w_t, w_u, w_v)],
                  axis=2).reshape(16, c * 4 * CSIZE)
     w = np.concatenate(
         [w, np.zeros((16, GROUP * 4 * CSIZE), np.float32)], axis=1)
     # prebuilt split-precision operands (exactly the values the kernel
-    # used to derive per tile: hi = bf16(w), lo = bf16(w - f32(hi)))
-    w_j = jnp.asarray(w)
-    w_hi = w_j.astype(jnp.bfloat16)
-    w_lo = (w_j - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # used to derive per tile: hi = bf16(w), lo = bf16(w - f32(hi))).
+    # numpy/ml_dtypes casts are round-to-nearest-even like XLA's, and
+    # the noise band only needs self-consistency with the w the kernel
+    # multiplies, so building them host-side is exact.
+    import ml_dtypes
+    w_hi = w.astype(ml_dtypes.bfloat16)
+    w_lo = (w - w_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
     # |bf16(w)| of the u,v columns only ([det|t|u|v] -> slots 2,3): the
     # exact operand the kernel's noise-band dot used when it computed
     # the full-width mag, so band values are bit-identical
-    wa = jnp.abs(w_hi).reshape(16, -1, 4, CSIZE)[:, :, 2:4, :] \
+    wa = np.abs(w_hi).reshape(16, -1, 4, CSIZE)[:, :, 2:4, :] \
         .reshape(16, -1)
     return Clusters(
-        w=w_j, cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
+        w=jnp.asarray(w), cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
         tri_id=jnp.asarray(tri_id), gbox=jnp.asarray(gbox),
-        cbox=jnp.asarray(cbox), w_abs_uv=wa, w_hi=w_hi, w_lo=w_lo,
+        cbox=jnp.asarray(cbox), w_abs_uv=jnp.asarray(wa),
+        w_hi=jnp.asarray(w_hi), w_lo=jnp.asarray(w_lo),
         n_clusters=int(c), n_groups=int(g))
 
 

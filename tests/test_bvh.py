@@ -419,3 +419,34 @@ def test_binned_two_tier_both_branches():
         assert np.allclose(np.asarray(its.t)[both], np.asarray(ref.t)[both],
                            rtol=1e-4, atol=1e-5)
     assert seen == [True, False], seen  # each branch exercised once
+
+
+def test_cluster_split_tables_consistent():
+    """The prebuilt split-precision operands must satisfy the exact
+    relationships the kernel's noise band assumes: w_hi = bf16(w),
+    w_lo = bf16(w - f32(w_hi)) (so hi+lo reconstructs w to within the
+    lo rounding), and w_abs_uv = |w_hi| restricted to the u|v column
+    pairs in layout order."""
+    import ml_dtypes
+    from mitsuba_tpu.ops import binned_intersect as bi
+    from mitsuba_tpu.scene import ir as irlib
+
+    v, f = _bunny_or_synthetic()
+    scene = irlib.build_scene(v, f, np.zeros(len(f), np.int32),
+                              [{"type": irlib.BSDF_DIFFUSE}])
+    cl = bi.build_clusters(scene)
+    w = np.asarray(cl.w)
+    hi = np.asarray(cl.w_hi).astype(np.float32)
+    lo = np.asarray(cl.w_lo).astype(np.float32)
+    assert np.array_equal(hi, w.astype(ml_dtypes.bfloat16)
+                          .astype(np.float32))
+    assert np.array_equal(lo, (w - hi).astype(ml_dtypes.bfloat16)
+                          .astype(np.float32))
+    # hi + lo reconstructs w to within lo's own rounding (~2^-8 of lo)
+    err = np.abs(w - (hi + lo))
+    bound = np.maximum(np.abs(lo) * 2.0 ** -7, np.abs(w) * 2.0 ** -16)
+    assert np.all(err <= bound + 1e-30)
+    wa = np.asarray(cl.w_abs_uv).astype(np.float32)
+    expect = np.abs(hi).reshape(16, -1, 4, bi.CSIZE)[:, :, 2:4, :] \
+        .reshape(16, -1)
+    assert np.array_equal(wa, expect)

@@ -130,11 +130,16 @@ def nee_boundary(scene, p, ns, sp, wi_local, families, u_edge):
     occ_seg = trace.shadow_blocked(scene, pf, w, dist, False)
     its_far = trace.closest_hit(scene, z0 + w * RAY_EPS, w)
     L_far = _emitted_radiance(scene, its_far.prim, w, its_far.valid)
-    # near side: the edge surface's own emission toward p
-    em_own = scene.tri_emitter[f_own]
-    le_own = scene.emitters.radiance[jnp.maximum(em_own, 0)]
-    own_front = face_front(f_own)
-    L_near = jnp.where((em_own >= 0) & own_front, 1.0, 0.0)[:, None] * le_own
+    # near side: the emission of the VISIBLE face at z — at a silhouette
+    # exactly one of (own, neighbor) is front-facing toward p, and that
+    # is the surface the near side of the curve shows (using the owner
+    # unconditionally zeroed L_near whenever the emissive face happened
+    # to be stored as the neighbor)
+    f_vis = jnp.where((f_nbr >= 0) & ~face_front(f_own), f_nbr, f_own)
+    em_vis = scene.tri_emitter[f_vis]
+    le_vis = scene.emitters.radiance[jnp.maximum(em_vis, 0)]
+    vis_front = face_front(f_vis)
+    L_near = jnp.where((em_vis >= 0) & vis_front, 1.0, 0.0)[:, None] * le_vis
     dL = sg(L_far - L_near)                                   # (N*M,3)
 
     # BSDF factor at p toward w (includes the receiver cosine)

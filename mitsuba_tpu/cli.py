@@ -40,6 +40,13 @@ def build_argparser():
                     help="override integrator (path/direct/volpath/depth/normal/ao)")
     ap.add_argument("--mesh", default=None, metavar="DP,SP",
                     help="device mesh shape for multi-chip rendering")
+    ap.add_argument("--distributed", default=None, metavar="HOST:PORT,N,I",
+                    help="multi-host rendering (the mtssrv/-c cluster "
+                         "analog, mitsuba.cpp:290-311, mtssrv.cpp:288-374): "
+                         "coordinator address, total process count, this "
+                         "process's id. Launch the same command on every "
+                         "host; combine with --mesh to lay out the GLOBAL "
+                         "device mesh. Process 0 writes the output.")
     ap.add_argument("-j", "--jobs", type=int, default=1,
                     help="render multiple scenes concurrently (mitsuba.cpp"
                          " -j; JAX dispatch overlaps host-side work)")
@@ -154,6 +161,20 @@ def _render_one(args):
         # NOTE: must run before any device use; the env var JAX_PLATFORMS
         # can be overridden by PJRT bootstrap hooks, config.update is not
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        # jax.distributed must initialize before the first backend use
+        # (after the --cpu platform pin above). Every participating host
+        # runs the same CLI invocation with its own process id I.
+        import jax
+
+        try:
+            coord, n, i = args.distributed.split(",")
+        except ValueError:
+            raise SystemExit(
+                f"bad --distributed '{args.distributed}', expected "
+                "HOST:PORT,NUM_PROCS,PROCESS_ID")
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(n), process_id=int(i))
     if args.debug_fp:
         import jax
 
@@ -276,6 +297,13 @@ def _render_one(args):
             )
         mesh = rs.make_mesh(dp * sp, sp=sp)
         img = rs.render_sharded_jit(scene, cam, li_fn, cfg, mesh)
+        if args.distributed:
+            # the output is sharded across processes; gather the full
+            # frame (the EWorkResult merge, sched_remote.h:221, as one
+            # collective) so process 0 can develop the film
+            from jax.experimental import multihost_utils
+
+            img = multihost_utils.process_allgather(img, tiled=True)
     elif args.time_bins > 1:
         # time-binned object motion blur (deformable.cpp / track.h
         # analog): each bin re-loads the scene at a stratified shutter
@@ -353,6 +381,16 @@ def _render_one(args):
     import numpy as np
 
     img = np.asarray(img)
+    if args.distributed:
+        # only the coordinator-side process develops the film (mtssrv
+        # workers never write; the client assembles, mitsuba.cpp:311)
+        import jax
+
+        if jax.process_index() != 0:
+            from .core import logger as _ll
+            _ll.Log(_ll.EInfo, "worker %d done (mean %.4f)",
+                    jax.process_index(), img.mean())
+            return 0
     out = args.output or (scene_path.rsplit(".", 1)[0] + ".exr")
     from .io import image as imagelib
 

@@ -150,7 +150,33 @@ def render(scene, cam, cfg: RenderConfig, n_particles: int | None = None) -> jax
 
     img0 = jnp.zeros((h, w, 3), jnp.float32)
     img, _ = jax.lax.scan(run_chunk, img0, jnp.arange(nchunks))
-    return img * (jnp.float32(npix) / jnp.float32(n_particles))
+    img = img * (jnp.float32(npix) / jnp.float32(n_particles))
+
+    # Directly-visible ENVIRONMENT radiance: infinite lights have no
+    # surface, so no particle emission vertex ever splats them (the area
+    # branch above); the background is the deterministic s=0 term, added
+    # with one jittered camera pass per pixel (the reference likewise
+    # treats sensor-visible infinite lights outside the particle phase —
+    # ptracer.cpp's sensor path). Area emitters stay with the emission
+    # splat, so nothing double-counts.
+    if scene.envmap is not None or getattr(scene, "has_env", False):
+        from ..models import emitter as emitterlib
+
+        bg_spp = int(min(max(cfg.spp, 1), 8))
+        pid = jnp.tile(jnp.arange(npix, dtype=jnp.uint32), (bg_spp,))
+        slot = jnp.repeat(jnp.arange(bg_spp, dtype=jnp.uint32), npix)
+        jx = uniform(jnp.uint32(cfg.seed), pid, slot + jnp.uint32(2), 0)
+        jy = uniform(jnp.uint32(cfg.seed), pid, slot + jnp.uint32(2), 1)
+        px = (pid % w).astype(jnp.float32) + jx
+        py = (pid // w).astype(jnp.float32) + jy
+        o_c, d_c, _ = sensorlib.sample_rays(cam, px, py,
+                                            jnp.zeros((npix * bg_spp, 2)))
+        its = trace.closest_hit(scene, o_c, d_c)
+        le = jnp.where(~its.valid[:, None],
+                       emitterlib.env_radiance(scene, d_c), 0.0)
+        bg = le.reshape(bg_spp, npix, 3).mean(0).reshape(h, w, 3)
+        img = img + bg
+    return img
 
 
 def render_jit(scene, cam, cfg: RenderConfig):

@@ -49,6 +49,12 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
     families = scene.bsdf_families
     seed = jnp.uint32(cfg.seed)
 
+    # Shadow-ray deferral pays only where the fused binned dispatch
+    # exists (TPU big-mesh path); on the brute/BVH backends the fallback
+    # decomposes anyway, so the extra while-carry state and final
+    # resolve iteration are pure cost (Cornell measured ~4%). Static
+    # per-compile: cluster presence is part of the scene pytree struct.
+    fuse = scene.clusters is not None and jax.default_backend() != "cpu"
     pixel = jnp.tile(jnp.arange(npix, dtype=jnp.uint32), (lanes_per_pixel,))
     lane_slot = jnp.repeat(
         jnp.arange(lanes_per_pixel, dtype=jnp.uint32), npix
@@ -81,9 +87,24 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         prev_delta=jnp.ones((n,), bool),
         eta_scale=jnp.ones((n,)),
     )
+    if fuse:
+        # deferred NEE shadow ray from the PREVIOUS step's shade point:
+        # tracing it fuses with this step's closest-hit batch into ONE
+        # intersector dispatch (trace.closest_and_any), halving the
+        # per-dispatch fixed cost the wavefront pays per step.
+        state0.update(
+            pend=jnp.zeros((n,), bool),
+            pend_o=jnp.zeros((n, 3)),
+            pend_d=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1)),
+            pend_dist=jnp.zeros((n,)),
+            pend_contrib=jnp.zeros((n, 3)),
+            pend_accum=jnp.zeros((n,), bool),  # resolve into L_accum
+            #                                    (path completed) vs L_path
+        )
 
     def cond(s):
-        return jnp.any(s["done"] < spp_lane)
+        live = jnp.any(s["done"] < spp_lane)
+        return live | jnp.any(s["pend"]) if fuse else live
 
     def step(s):
         o, d = s["o"], s["d"]
@@ -94,12 +115,31 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         def bu(k):
             return u_dim(sample, SENSOR_DIMS + t * DIMS_PER_BOUNCE + k)
 
-        its = trace.closest_hit(scene, o, d)
+        if fuse:
+            # fused dispatch: this step's closest batch + last step's
+            # shadow batch; retired lanes trace tmax=0 rays (the
+            # signature sort packs them into dummy tiles, so the
+            # straggler tail is ~free)
+            tmax_c = jnp.where(lane_live, jnp.float32(3e37), 0.0)
+            its, blocked = trace.closest_and_any(
+                scene, o, d, tmax_c,
+                s["pend_o"], s["pend_d"],
+                jnp.where(s["pend"], s["pend_dist"], 0.0),
+                cfg.occupancy_shadows)
+            resolved = jnp.where((s["pend"] & ~blocked)[:, None],
+                                 s["pend_contrib"], 0.0)
+            L_accum_in = s["L_accum"] + jnp.where(
+                s["pend_accum"][:, None], resolved, 0.0)
+            L_path = s["L_path"] + jnp.where(
+                s["pend_accum"][:, None], 0.0, resolved)
+        else:
+            its = trace.closest_hit(scene, o, d)
+            L_accum_in = s["L_accum"]
+            L_path = s["L_path"]
         si = trace.surface_interaction(scene, o, d, its)
         ns, ng, p = si["ns"], si["ng"], si["p"]
         wi_local = m.to_local(ns, si["wi_world"])
 
-        L_path = s["L_path"]
         beta = s["beta"]
 
         # escaped: environment
@@ -134,18 +174,24 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         sp = bsdflib.gather_shade_point(scene, si["mat"], si["uv"],
                                 u_blend=bu(7), aux=si)
 
-        # NEE
+        # NEE — the shadow ray is NOT traced here: it is deferred into
+        # the NEXT step's fused dispatch (see closest_and_any above) and
+        # its contribution resolves there, into L_path if this path is
+        # still running or L_accum if it completed below. Same estimator,
+        # half the dispatches.
         u_nee = jnp.stack([bu(0), bu(1), bu(2)], -1)
         ds = emitterlib.sample_direct(scene, p, u_nee)
         wo_local = m.to_local(ns, ds.d)
         f_nee, pdf_b_nee = bsdflib.eval_pdf(sp, wi_local, wo_local, families)
         nee_ok = hit & can_continue & (ds.pdf > 0.0) & (jnp.max(f_nee, -1) > 0.0)
-        blocked = trace.shadow_blocked(scene, p, ds.d, ds.dist,
-                                       cfg.occupancy_shadows)
         w_nee = jnp.where(ds.is_delta, 1.0,
                           mis_weight(cfg.mis_mode, ds.pdf, pdf_b_nee))
         contrib = beta * f_nee * ds.radiance * m.safe_div(w_nee, ds.pdf)[:, None]
-        L_path = L_path + jnp.where((nee_ok & ~blocked)[:, None], contrib, 0.0)
+        if not fuse:
+            blocked = trace.shadow_blocked(scene, p, ds.d, ds.dist,
+                                           cfg.occupancy_shadows)
+            L_path = L_path + jnp.where((nee_ok & ~blocked)[:, None],
+                                        contrib, 0.0)
 
         # BSDF sample + continuation decision
         wo, weight, pdf, is_delta = bsdflib.sample(
@@ -172,7 +218,7 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         # --- regeneration -------------------------------------------------
         died = lane_live & ~alive
         new_done = s["done"] + died.astype(jnp.uint32)
-        L_accum = s["L_accum"] + jnp.where(died[:, None], L_path, 0.0)
+        L_accum = L_accum_in + jnp.where(died[:, None], L_path, 0.0)
         new_sample = sample + died.astype(jnp.uint32)
         o_cam, d_cam = camera_ray(new_sample)
         regen = died & (new_done < spp_lane)
@@ -184,7 +230,7 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
                                          -RAY_EPS)[:, None], o))
         d_next = jnp.where(regen[:, None], d_cam,
                            jnp.where(alive[:, None], d_new, d))
-        return dict(
+        out = dict(
             o=o_next, d=d_next,
             sample=jnp.where(died, new_sample, sample),
             done=new_done,
@@ -196,6 +242,18 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
             prev_delta=jnp.where(alive, is_delta, True),
             eta_scale=jnp.where(alive, eta_scale, 1.0),
         )
+        if fuse:
+            out.update(
+                pend=nee_ok,
+                pend_o=p,
+                pend_d=ds.d,
+                pend_dist=jnp.where(nee_ok, ds.dist, 0.0),
+                pend_contrib=jnp.where(nee_ok[:, None], contrib, 0.0),
+                # a dying path's pending NEE lands in the banked
+                # accumulator
+                pend_accum=died,
+            )
+        return out
 
     out = jax.lax.while_loop(cond, step, state0)
     img = out["L_accum"].reshape(lanes_per_pixel, npix, 3).sum(0)

@@ -331,20 +331,28 @@ def ray_sort_perm(cl: Clusters, o, d, tmax):
 
 
 def _subrow_mask(cl: Clusters, o, d, tmax):
-    """Dense ray x cluster slab test, reduced to a (nsub, G) bool mask:
-    does ANY ray of 128-ray sub-row s enter ANY cluster box of group g?
-    The (C, N) boolean map is fused away by XLA."""
+    """Group-bbox slab test, reduced to a (nsub, G) bool mask: does ANY
+    ray of 128-ray sub-row s enter group g's bounding box?
+
+    r5: this used the 8x more expensive per-CLUSTER boxes (C, N); on the
+    bench meshes the Morton-packed clusters tile their group bbox so
+    densely that the tile sets are IDENTICAL (verified offline over all
+    three render ray classes), and a looser mask is always safe — the
+    kernel still gates each cluster exactly, extra tiles just cost their
+    dispatch. The (G, N) map is fused away by XLA."""
     G = cl.n_groups
     n = o.shape[0]
+    gmin = cl.cmin.reshape(G, GROUP, 3).min(1)
+    gmax = cl.cmax.reshape(G, GROUP, 3).max(1)
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                           jnp.where(d >= 0, 1e-12, -1e-12), d)
-    t0 = (cl.cmin[:, None] - o[None]) * inv[None]
-    t1 = (cl.cmax[:, None] - o[None]) * inv[None]
+    t0 = (gmin[:, None] - o[None]) * inv[None]
+    t1 = (gmax[:, None] - o[None]) * inv[None]
     tn = jnp.minimum(t0, t1).max(-1)
     tf = jnp.maximum(t0, t1).min(-1)
     hit = (tn <= tf) & (tf > I.SHADOW_EPS) & (tn < tmax[None, :])
-    # (C, N) -> (G, GROUP, nsub, 128) -> any over (GROUP, lanes) -> (nsub, G)
-    return hit.reshape(G, GROUP, n // 128, 128).any((1, 3)).T
+    # (G, N) -> (G, nsub, 128) -> any over lanes -> (nsub, G)
+    return hit.reshape(G, n // 128, 128).any(-1).T
 
 
 def _make_kernel(n_groups: int):
@@ -619,14 +627,23 @@ def _closest_key_chunk(cl: Clusters, o, d, tmax):
     tg = jnp.where(live, tidx % G, G).astype(jnp.int32)
     packed = (tsub << 16) | tg
 
-    small = maxt // 4
-    if small >= SUBROWS * 8:
-        # live tiles come first (nonzero preserves order), so when they
-        # fit the quarter-size list the tail is all dummies — drop it
-        keys, grps, keys2, grps2 = jax.lax.cond(
-            jnp.sum(submask) <= small,
-            lambda _: _dispatch_tiles(cl, o, d, packed[:small]),
-            lambda _: _dispatch_tiles(cl, o, d, packed), 0)
+    # Tile-list tier ladder (r5): live tiles come first (nonzero
+    # preserves order), so the dispatch only needs a list >= the live
+    # count. The r4 two-tier (quarter/full) lax.cond still burnt up to
+    # maxt/4 dummy grid steps (~5 ms per fused 262k-ray render step,
+    # measured in the r5 trace); a x2 geometric ladder keeps dummy
+    # steps within 2x of live. Every branch shares the kernel; only the
+    # grid length differs.
+    sizes = [s for s in (maxt // 32, maxt // 16, maxt // 8,
+                         maxt // 4, maxt // 2)
+             if s >= SUBROWS * 8]
+    if sizes:
+        nlive = jnp.sum(submask)
+        branches = ([(lambda _, s=s: _dispatch_tiles(cl, o, d, packed[:s]))
+                     for s in sizes]
+                    + [lambda _: _dispatch_tiles(cl, o, d, packed)])
+        idx = sum((nlive > s).astype(jnp.int32) for s in sizes)
+        keys, grps, keys2, grps2 = jax.lax.switch(idx, branches, 0)
     else:
         keys, grps, keys2, grps2 = _dispatch_tiles(cl, o, d, packed)
 
@@ -659,9 +676,13 @@ def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
         perm = ray_sort_perm(cl, o, d, tmax)
         inv = jnp.zeros((n0,), jnp.int32).at[perm].set(
             jnp.arange(n0, dtype=jnp.int32), unique_indices=True)
-        o = o[perm]
-        d = d[perm]
-        tmax = tmax[perm]
+        # ONE row gather for the whole ray record (r5): seven separate
+        # scalar-stream gathers measured ~1 ms each per 131k at render
+        # scale; a packed (N, 7) row gather is a single fused op
+        X = jnp.concatenate([o, d, tmax[:, None]], -1)[perm]
+        o = X[:, 0:3]
+        d = X[:, 3:6]
+        tmax = X[:, 6]
     else:
         inv = None
 
@@ -679,6 +700,12 @@ def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
     if n <= chunk:
         parts = [_closest_key_chunk(cl, o, d, tmax)]
     else:
+        # balance the chunks (r5): padding to a multiple of the MAXIMUM
+        # chunk made a 262144-ray call run 242688 + a 92%-padding tail
+        # chunk; equal BLOCK-aligned chunks waste nothing
+        nchunks = -(-n // chunk)
+        per = -(-n // nchunks)                 # balanced rays per chunk
+        chunk = -(-per // BLOCK) * BLOCK       # BLOCK-aligned (>= per)
         # pad to a chunk multiple so every dispatch shares one compile
         nc = -(-n // chunk) * chunk
         if nc != n:
@@ -704,10 +731,9 @@ def closest_key2(cl: Clusters, o, d, tmax, sort: bool = True):
     grp = jnp.maximum(grp[:n0], 0)
     grp2 = jnp.maximum(grp2[:n0], 0)
     if inv is not None:
-        key = key[inv]
-        grp = grp[inv]
-        key2 = key2[inv]
-        grp2 = grp2[inv]
+        # same single-row-gather trick for the inverse permutation
+        K = jnp.stack([key, grp, key2, grp2], -1)[inv]
+        key, grp, key2, grp2 = K[:, 0], K[:, 1], K[:, 2], K[:, 3]
     return key, grp, key2, grp2
 
 
@@ -1181,6 +1207,35 @@ def _finalize_closest(scene, cl: Clusters, k1, g1, k2, g2,
                           prim=jnp.where(valid, prim, 0),
                           b1=jnp.where(valid, b1, 0.0),
                           b2=jnp.where(valid, b2, 0.0))
+
+
+def closest_and_any(scene, cl: Clusters, o_c, d_c, tmax_c,
+                    o_s, d_s, tmax_s):
+    """Fused closest-hit + shadow any-hit in ONE kernel dispatch.
+
+    The regenerative wavefront issues a closest batch (next bounce) and
+    an any-hit batch (previous vertex's NEE shadow rays) every step;
+    dispatching them separately pays the per-dispatch machinery (sort,
+    sub-row mask, tile enumeration, launch chain — measured ~8-11 ms at
+    16k rays, tools/probe_parts_small.py) twice. Concatenating the two
+    batches halves that AND lets the signature sort pack both classes
+    into shared sub-rows. Exactness is inherited: both halves use the
+    standard top-2 + exact-f32 re-test path. Retired rays (tmax 0)
+    sort to dummy tiles and cost ~nothing."""
+    n_c = o_c.shape[0]
+    limit = tmax_s * (1.0 - I.SHADOW_EPS)
+    o = jnp.concatenate([o_c, o_s])
+    d = jnp.concatenate([d_c, d_s])
+    tm = jnp.concatenate([tmax_c, limit])
+    k1, g1, k2, g2 = closest_key2(cl, o, d, tm)
+    its = _finalize_closest(scene, cl, k1[:n_c], g1[:n_c],
+                            k2[:n_c], g2[:n_c], o_c, d_c, tmax_c)
+    v1, _, p1 = _decode_prim(cl, k1[n_c:], g1[n_c:])
+    v2, _, p2 = _decode_prim(cl, k2[n_c:], g2[n_c:])
+    te1, _, _, ok1 = _exact_test(scene, p1, o_s, d_s)
+    te2, _, _, ok2 = _exact_test(scene, p2, o_s, d_s)
+    blocked = (v1 & ok1 & (te1 <= limit)) | (v2 & ok2 & (te2 <= limit))
+    return its, blocked
 
 
 def any_hit(scene, cl: Clusters, o, d, tmax,

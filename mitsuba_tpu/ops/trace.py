@@ -61,6 +61,24 @@ def any_hit(scene, o: jax.Array, d: jax.Array, tmax) -> jax.Array:
     return _isect.occluded_brute(scene, o, d, tmax)
 
 
+def closest_and_any(scene, o_c, d_c, tmax_c, o_s, d_s, tmax_s,
+                    use_occupancy: bool = False):
+    """Fused closest-hit (o_c, d_c) + shadow any-hit (o_s, d_s) —
+    ONE binned dispatch on the TPU big-mesh path (halves the
+    per-dispatch fixed cost the regenerative wavefront pays per step);
+    everywhere else it decomposes into the two standard calls."""
+    if (scene.bvh is not None and not _prefer_brute(scene)
+            and jax.default_backend() != "cpu"
+            and scene.clusters is not None
+            and not (use_occupancy and scene.occupancy is not None)):
+        from . import binned_intersect
+        return binned_intersect.closest_and_any(
+            scene, scene.clusters, o_c, d_c, tmax_c, o_s, d_s, tmax_s)
+    its = closest_hit(scene, o_c, d_c, tmax_c)
+    blocked = shadow_blocked(scene, o_s, d_s, tmax_s, use_occupancy)
+    return its, blocked
+
+
 def shadow_blocked(scene, o, d, tmax, use_occupancy: bool = False) -> jax.Array:
     """Shadow query with the optional occupancy-map approximation (the
     fork's _OM integrator variants; biased, cheaper on huge scenes)."""

@@ -450,3 +450,49 @@ def test_cluster_split_tables_consistent():
     expect = np.abs(hi).reshape(16, -1, 4, bi.CSIZE)[:, :, 2:4, :] \
         .reshape(16, -1)
     assert np.array_equal(wa, expect)
+
+
+def test_binned_closest_and_any_fused_equals_separate():
+    """closest_and_any (the wavefront's fused dispatch, r5) must equal
+    the separate closest_hit + any_hit calls exactly — including retired
+    rays (tmax 0), which must neither hit nor block."""
+    from mitsuba_tpu.ops import binned_intersect as bi
+    from mitsuba_tpu.scene import ir as irlib
+
+    v, f = _bunny_or_synthetic()
+    scene = irlib.build_scene(v, f, np.zeros(len(f), np.int32),
+                              [{"type": irlib.BSDF_DIFFUSE}])
+    cl = bi.build_clusters(scene)
+    lo, hi = v.min(0), v.max(0)
+    center = jnp.asarray((lo + hi) / 2)
+    radius = float(np.linalg.norm(hi - lo) / 2)
+    n = 512
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    a = jax.random.normal(k1, (n, 3))
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b = jax.random.normal(k2, (n, 3))
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    o_c = center + a * radius
+    d_c = center + b * radius * 0.5 - o_c
+    d_c = d_c / jnp.linalg.norm(d_c, axis=-1, keepdims=True)
+    o_s = center + b * radius
+    d_s = -b
+    tm_s = jnp.full((n,), radius * 0.9)
+    # retire a quarter of each class (the wavefront's dead lanes)
+    tm_c = jnp.where(jnp.arange(n) % 4 == 0, 0.0, jnp.float32(3e37))
+    tm_s = jnp.where(jnp.arange(n) % 4 == 1, 0.0, tm_s)
+
+    its_f, blk_f = _interp(bi.closest_and_any)(
+        scene, cl, o_c, d_c, tm_c, o_s, d_s, tm_s)
+    its_s = _interp(bi.closest_hit)(scene, cl, o_c, d_c, tm_c)
+    blk_s = _interp(bi.any_hit)(scene, cl, o_s, d_s, tm_s)
+
+    np.testing.assert_array_equal(np.asarray(its_f.valid),
+                                  np.asarray(its_s.valid))
+    np.testing.assert_array_equal(np.asarray(its_f.prim),
+                                  np.asarray(its_s.prim))
+    np.testing.assert_allclose(np.asarray(its_f.t), np.asarray(its_s.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(blk_f), np.asarray(blk_s))
+    assert not np.asarray(blk_f)[1::4].any()      # retired shadow rays
+    assert not np.asarray(its_f.valid)[0::4].any()  # retired closest rays

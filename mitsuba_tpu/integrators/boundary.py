@@ -56,6 +56,69 @@ class BoundaryConfig(NamedTuple):
     edge_dim_base: int = 2048  # sampler dims reserved for edge sampling
     primary: bool = True       # camera-silhouette splat pass (render_grad)
     n_primary: int = 16384     # global edge samples for that pass
+    importance: bool = True    # silhouette-importance edge CDF (r5)
+    imp_floor: float = 0.05    # uniform mixture floor (unbiasedness)
+
+
+def edge_importance(scene, anchor, tau: float = 0.05,
+                    floor: float = 0.05):
+    """Per-edge sampling weights (E,) concentrating on likely
+    silhouettes (VERDICT r4 item 2: the documented next step past
+    length-uniform sampling).
+
+    NEE shadow boundaries are silhouettes as seen from the LIGHT; camera
+    boundaries are silhouettes from the eye. Both are static per
+    (scene, anchor): an edge is anchor-silhouette iff its two faces
+    disagree about facing the anchor. We score each edge by that test
+    from the anchor with a conservative dot-product margin `tau`
+    (absorbs area-light extent / receiver parallax), always keep open
+    edges, and MIX with a `floor` of uniform mass so every edge stays
+    sampleable — the estimator divides by the actual pdf, so any
+    floor > 0 keeps it unbiased for every receiver; the floor only
+    bounds the worst-case variance of edges the heuristic missed.
+
+    Returns detached weights w_e = len_e * (floor + (1-floor)*sil_e);
+    samplers turn them into a CDF and divide by pdf = w_e / (W len_e)
+    per unit length."""
+    sg = jax.lax.stop_gradient
+    et = scene.edge_table
+    v0 = sg(scene.vertices[et[:, 0]])
+    v1 = sg(scene.vertices[et[:, 1]])
+    lens = jnp.linalg.norm(v1 - v0, axis=-1)
+    mid = 0.5 * (v0 + v1)
+    dirs = m.normalize(anchor[None, :] - mid)
+
+    def nrm(fid):
+        vi = scene.indices[jnp.maximum(fid, 0)]
+        a = sg(scene.vertices[vi[:, 0]])
+        return m.normalize(jnp.cross(sg(scene.vertices[vi[:, 1]]) - a,
+                                     sg(scene.vertices[vi[:, 2]]) - a))
+
+    ca = jnp.sum(nrm(et[:, 2]) * dirs, -1)
+    cb = jnp.sum(nrm(et[:, 3]) * dirs, -1)
+    sil = (et[:, 3] < 0) | (ca * cb < tau)
+    return lens * (floor + (1.0 - floor) * sil)
+
+
+def emitter_anchor(scene):
+    """Power-weighted mean position of the scene's area emitters — the
+    silhouette anchor for NEE shadow boundaries. Falls back to the mesh
+    centroid (weights then become ~uniform-ish but remain valid: the
+    floor mixture keeps every edge sampleable regardless)."""
+    sg = jax.lax.stop_gradient
+    vi = scene.indices
+    a = sg(scene.vertices[vi[:, 0]])
+    b = sg(scene.vertices[vi[:, 1]])
+    c = sg(scene.vertices[vi[:, 2]])
+    cen = (a + b + c) / 3.0
+    area = 0.5 * jnp.linalg.norm(jnp.cross(b - a, c - a), axis=-1)
+    em = scene.tri_emitter
+    lum = jnp.sum(scene.emitters.radiance[jnp.maximum(em, 0)], -1)
+    wt = jnp.where(em >= 0, area * lum, 0.0)
+    W = jnp.sum(wt)
+    fallback = jnp.mean(cen, axis=0)
+    anchor = jnp.sum(cen * wt[:, None], axis=0) / jnp.maximum(W, 1e-20)
+    return jnp.where(W > 1e-12, anchor, fallback)
 
 
 def _emitted_radiance(scene, prim, d, valid):
@@ -73,17 +136,23 @@ def _emitted_radiance(scene, prim, d, valid):
     return jnp.where(valid[:, None], le, env)
 
 
-def nee_boundary(scene, p, ns, sp, wi_local, families, u_edge):
+def nee_boundary(scene, p, ns, sp, wi_local, families, u_edge,
+                 edge_w=None):
     """(N,3) zero-primal boundary gradient of the direct-lighting
-    integral at shading points p. u_edge: (N, M, 2) uniforms."""
+    integral at shading points p. u_edge: (N, M, 2) uniforms.
+    edge_w: optional (E,) importance weights (edge_importance);
+    None = length-uniform."""
     sg = jax.lax.stop_gradient
     n, M, _ = u_edge.shape
     et = scene.edge_table                                     # (E,5)
     v0 = scene.vertices[et[:, 0]]
     v1 = scene.vertices[et[:, 1]]
     lens = sg(jnp.linalg.norm(v1 - v0, axis=-1))              # (E,)
-    total_len = jnp.sum(lens)
-    cdf = jnp.cumsum(lens) / jnp.maximum(total_len, 1e-20)
+    w_imp = lens if edge_w is None else sg(edge_w)
+    W = jnp.sum(w_imp)
+    cdf = jnp.cumsum(w_imp) / jnp.maximum(W, 1e-20)
+    # 1/pdf per unit length for each edge (uniform case: total length)
+    inv_pdf = W * lens / jnp.maximum(w_imp, 1e-20)            # (E,)
 
     eidx = jnp.searchsorted(cdf, u_edge[..., 0].reshape(-1))  # (N*M,)
     eidx = jnp.clip(eidx, 0, et.shape[0] - 1)
@@ -155,12 +224,13 @@ def nee_boundary(scene, p, ns, sp, wi_local, families, u_edge):
     vn = jnp.sum(v_perp * n_hat, -1) / jnp.maximum(dist, 1e-12)
 
     live = sil & ~occ_seg
-    scale = sg(jnp.where(live, rate, 0.0) * total_len)
+    scale = sg(jnp.where(live, rate, 0.0) * inv_pdf[eidx])
     contrib = -(dL * f_val) * (vn * scale)[:, None]           # (N*M,3)
     return jnp.mean(contrib.reshape(n, M, 3), axis=1)
 
 
-def primary_boundary_image(scene, cam, n_samples, key, spp_lookahead=4):
+def primary_boundary_image(scene, cam, n_samples, key, spp_lookahead=4,
+                           edge_w=None):
     """Camera-silhouette boundary gradient as an IMAGE-SPACE splat pass
     (the redner strategy): sample edge points globally, project each to
     its pixel, and scatter-add the zero-primal boundary contribution.
@@ -176,8 +246,10 @@ def primary_boundary_image(scene, cam, n_samples, key, spp_lookahead=4):
     v0 = scene.vertices[et[:, 0]]
     v1 = scene.vertices[et[:, 1]]
     lens = sg(jnp.linalg.norm(v1 - v0, axis=-1))
-    total_len = jnp.sum(lens)
-    cdf = jnp.cumsum(lens) / jnp.maximum(total_len, 1e-20)
+    w_imp = lens if edge_w is None else sg(edge_w)
+    W = jnp.sum(w_imp)
+    cdf = jnp.cumsum(w_imp) / jnp.maximum(W, 1e-20)
+    inv_pdf = W * lens / jnp.maximum(w_imp, 1e-20)
 
     k1, k2, k3 = jax.random.split(key, 3)
     u = jax.random.uniform(k1, (n_samples, 2))
@@ -235,7 +307,7 @@ def primary_boundary_image(scene, cam, n_samples, key, spp_lookahead=4):
         sg(jnp.abs(jnp.sum(jnp.cross(ddx, ddy) * w, -1))), 1e-12)
 
     live = sil & ~occ_seg & in_frame
-    scale = sg(jnp.where(live, rate, 0.0) * total_len) \
+    scale = sg(jnp.where(live, rate, 0.0) * inv_pdf[eidx]) \
         / (omega_pix * n_samples)
     contrib = -dL * (vn * scale)[:, None]                    # (Ns,3)
 
@@ -299,6 +371,12 @@ def li_grad(scene, cam, o, d, stream, cfg: RenderConfig,
     # almost never lands in the lane's own pixel (measured: unusable
     # variance), the image-space splat pass is the right formulation
 
+    # silhouette-importance edge CDF for the NEE boundary: anchored at
+    # the emitters (shadow silhouettes are light-view silhouettes)
+    edge_w = (edge_importance(scene, emitter_anchor(scene),
+                              floor=bc.imp_floor)
+              if bc.importance else None)
+
     # walk the path again (same sample stream => same vertices) and add
     # the NEE boundary term at each shading vertex, weighted by the
     # path throughput up to that vertex
@@ -315,7 +393,7 @@ def li_grad(scene, cam, o, d, stream, cfg: RenderConfig,
                                         u_blend=bounce_u(t, 7), aux=si)
         if t < cfg.max_depth - 1:
             bterm = nee_boundary(scene, si["p"], ns, sp, wi_local,
-                                 families, edge_u(0, t))
+                                 families, edge_u(0, t), edge_w=edge_w)
             L = L + jnp.where(active[:, None], beta * bterm, 0.0)
         # continue the walk exactly like path.li's BSDF sampling
         u_lobe = bounce_u(t, 3)
@@ -358,5 +436,9 @@ def render_grad(scene, cam, cfg: RenderConfig,
         lambda s, c, o, d, st, cf: li_grad(s, c, o, d, st, cf, bc), cfg)
     if bc.primary and bc.n_primary > 0:
         key = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
-        img = img + primary_boundary_image(scene, cam, bc.n_primary, key)
+        edge_w = (edge_importance(scene, cam.to_world[:3, 3],
+                                  floor=bc.imp_floor)
+                  if bc.importance else None)
+        img = img + primary_boundary_image(scene, cam, bc.n_primary, key,
+                                           edge_w=edge_w)
     return img

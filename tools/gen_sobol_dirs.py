@@ -40,7 +40,12 @@ from mitsuba_tpu.samplers import sobol as S  # noqa: E402
 KBITS = 12           # optimize for <= 4096 samples/pixel (render regime)
 LEVELS = [(m1, m2) for k in range(2, 9)
           for m1 in range(1, k) for m2 in [k - m1]]
-WEIGHTS = {lv: 4.0 ** (8 - sum(lv)) for lv in LEVELS}
+# Strictly LEXICOGRAPHIC level priority: a single coarse defect must
+# outweigh ANY number of finer ones. Max defects per level ~= #combos x
+# #prev-dims < 4096, so a 4096x weight ratio per level guarantees it
+# (4^k ratios measured insufficient: at ~1000 dims a (2,2)-defective
+# candidate with a clean fine tail beat a (2,2)-clean one).
+WEIGHTS = {lv: 4096.0 ** (8 - sum(lv)) for lv in LEVELS}
 
 
 def rows_of(vrow):

@@ -296,14 +296,23 @@ def _render_one(args):
                 f"{len(jax.devices())} are available"
             )
         mesh = rs.make_mesh(dp * sp, sp=sp)
-        img = rs.render_sharded_jit(scene, cam, li_fn, cfg, mesh)
         if args.distributed:
-            # the output is sharded across processes; gather the full
-            # frame (the EWorkResult merge, sched_remote.h:221, as one
-            # collective) so process 0 can develop the film
+            # Multi-controller SPMD: every process must trace the SAME
+            # program over the GLOBAL mesh. Baking scene/cam in as jit
+            # constants (no array arguments) is what guarantees that —
+            # passing them as arguments would make each process's
+            # host-local arrays the inputs of a differently-addressed
+            # global computation (tests/distributed_worker.py pattern).
+            # The replicated result is then gathered so process 0 can
+            # develop the film (the EWorkResult merge, sched_remote.h:221,
+            # as one collective).
             from jax.experimental import multihost_utils
 
+            img = jax.jit(
+                lambda: rs.render_sharded(scene, cam, li_fn, cfg, mesh))()
             img = multihost_utils.process_allgather(img, tiled=True)
+        else:
+            img = rs.render_sharded_jit(scene, cam, li_fn, cfg, mesh)
     elif args.time_bins > 1:
         # time-binned object motion blur (deformable.cpp / track.h
         # analog): each bin re-loads the scene at a stratified shutter

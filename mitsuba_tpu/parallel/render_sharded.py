@@ -67,7 +67,8 @@ def _radiance_sum(scene, cam, li_fn, cfg: RenderConfig, pixel_ids, sample_base,
 
     def body(acc, ci):
         sample_ids = sample_base + slot + ci.astype(jnp.uint32) * jnp.uint32(chunk)
-        stream = SampleStream(jnp.uint32(cfg.seed), pids, sample_ids, 0)
+        stream = SampleStream(jnp.uint32(cfg.seed), pids, sample_ids, 0,
+                              kind=cfg.sampler, spp=cfg.spp)
         jx = stream.next_1d()
         jy = stream.next_1d()
         u_lens = stream.next_2d()
@@ -102,7 +103,8 @@ def _film_sum(scene, cam, li_fn, cfg: RenderConfig, pixel_ids, sample_base,
     def body(acc, ci):
         img, wgt = acc
         sample_ids = sample_base + slot + ci.astype(jnp.uint32) * jnp.uint32(chunk)
-        stream = SampleStream(jnp.uint32(cfg.seed), pids, sample_ids, 0)
+        stream = SampleStream(jnp.uint32(cfg.seed), pids, sample_ids, 0,
+                              kind=cfg.sampler, spp=cfg.spp)
         jx = stream.next_1d()
         jy = stream.next_1d()
         u_lens = stream.next_2d()

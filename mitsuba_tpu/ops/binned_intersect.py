@@ -557,6 +557,17 @@ def _dispatch_tiles(cl: Clusters, o, d, packed):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # The search is non-differentiable BY DESIGN (its winning key is
+    # re-tested exactly in XLA by _finalize_closest, and the hit
+    # geometry is re-derived differentiably in surface_interaction —
+    # the same zero-primal reattachment the brute/BVH paths use), so
+    # detach the ray operands: without this, differentiating a render
+    # w.r.t. quantities that flow into ray origins (vertex positions,
+    # camera pose) would route tangents into pallas_call, which has no
+    # JVP rule (and would crash interpret-mode gradient tests).
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+
     n = o.shape[0]
     G = cl.n_groups
     nb = n // BLOCK

@@ -278,3 +278,64 @@ def veach_mis(width=256, height=192):
         height=height,
     )
     return scene, cam
+
+
+def sphere_shadow(nu=72, nv=72, radius=0.25, width=20, height=20,
+                  attach_bvh=True):
+    """Mesh-scale shadow fixture (VERDICT r4 item 2): a UV-sphere blocker
+    (2*nu*nv tris; 72x72 = 10368) floating between an area light and a
+    floor, camera underneath the sphere looking at the floor — the image
+    sees the sphere's SHADOW but not the sphere, so d(image)/d(sphere
+    translation) is a pure visibility-boundary gradient through a
+    clustered (binned-intersector) mesh. Returns (scene, cam,
+    sphere_vertex_rows).
+
+    Analog scale to the reference's kdtree-era shadow benchmarks; no
+    reference counterpart for the gradient itself (the fork's
+    autodiff.h:72 tier is unused)."""
+    us = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    vs = np.linspace(0, np.pi, nv + 1)
+    c = (0.0, 1.0, 0.0)
+    V = []
+    for v in vs:
+        for u in us:
+            V.append([c[0] + radius * np.sin(v) * np.cos(u),
+                      c[1] + radius * np.cos(v),
+                      c[2] + radius * np.sin(v) * np.sin(u)])
+    T = []
+    for i in range(nv):
+        for j in range(nu):
+            a = i * nu + j
+            b = i * nu + (j + 1) % nu
+            cc = (i + 1) * nu + j
+            d = (i + 1) * nu + (j + 1) % nu
+            T += [[a, b, cc], [b, d, cc]]
+    V = np.asarray(V, np.float32)
+    T = np.asarray(T, np.int32)
+    base = len(V)
+    verts = np.concatenate([V, np.asarray(
+        [[-3, 0, -3], [-3, 0, 3], [3, 0, 3], [3, 0, -3],
+         [-0.25, 2.6, -0.25], [0.25, 2.6, -0.25],
+         [0.25, 2.6, 0.25], [-0.25, 2.6, 0.25]], np.float32)])
+    tris = np.concatenate([T, np.asarray(
+        [[base, base + 1, base + 2], [base, base + 2, base + 3],
+         [base + 4, base + 5, base + 6], [base + 4, base + 6, base + 7]],
+        np.int32)])
+    tri_mat = np.concatenate([
+        np.ones(len(T), np.int32),          # sphere: dark
+        np.zeros(2, np.int32),              # floor: white
+        np.full(2, 2, np.int32)])           # light holder
+    white = {"type": ir.BSDF_DIFFUSE, "reflectance": [0.8, 0.8, 0.8]}
+    dark = {"type": ir.BSDF_DIFFUSE, "reflectance": [0.2, 0.2, 0.2]}
+    lm = {"type": ir.BSDF_DIFFUSE, "reflectance": [0.0, 0.0, 0.0]}
+    scene = ir.build_scene(
+        verts, tris, tri_mat, [white, dark, lm],
+        tri_radiance={len(tris) - 2: [40.0] * 3,
+                      len(tris) - 1: [40.0] * 3})
+    if attach_bvh:
+        from . import bvh as bvhlib
+        scene = bvhlib.attach(scene)
+    cam = sensorlib.make_camera(
+        origin=[0.0, 0.55, 0.0], target=[0.0, 0.0, 0.0], up=[0, 0, 1],
+        fov_x=80.0, width=width, height=height)
+    return scene, cam, (0, base)

@@ -244,7 +244,7 @@ def _bigmesh_scene(width=128, height=128):
     return scene, cam
 
 
-def _bigmesh_render_rays_per_sec(spp: int = 16, reps: int = 2):
+def _bigmesh_render_rays_per_sec(spp: int = 16, reps: int = 3):
     import numpy as _np
 
     from mitsuba_tpu.core.rng import SampleStream

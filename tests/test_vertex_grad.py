@@ -451,7 +451,7 @@ def test_meshscale_inverse_recovery_binned():
         # theta and the jitted step takes the scene as an ARGUMENT —
         # identical pytree shapes, one compile, fresh tables per step.
         theta = 0.32
-        bc = boundary.BoundaryConfig(n_edge=2, primary=False)
+        bc = boundary.BoundaryConfig(n_edge=4, primary=False)
 
         def loss(theta, base, theta_base, seed):
             s = scene_shift(base, theta, theta_base)
@@ -465,12 +465,17 @@ def test_meshscale_inverse_recovery_binned():
         # ONE compiled gradient program (interpret-mode compiles are
         # minutes each)
         gl = jax.jit(jax.value_and_grad(loss))
-        lr = 6.0
-        for it in range(5):
+        # clipped-step gradient descent: the n_edge=4/spp=8 gradient is
+        # noisy per seed, so bound each move to 0.05 (one bad seed can't
+        # fling theta into the no-signal clip region) and keep theta in
+        # [0, 0.5] where the shadow boundary stays in frame
+        lr = 3.0
+        for it in range(8):
             base = bvhlib.attach(scene_shift(scene0, theta, 0.0))
             _, g = gl(theta, base, theta, jnp.uint32(it + 1))
-            theta = float(np.clip(theta - lr * float(g), -0.6, 0.6))
-            lr *= 0.8
+            step = float(np.clip(lr * float(g), -0.05, 0.05))
+            theta = float(np.clip(theta - step, 0.0, 0.5))
+            lr *= 0.85
         assert abs(theta - theta_true) < 0.06, theta
     finally:
         for p in patches:

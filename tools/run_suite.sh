@@ -17,8 +17,8 @@
 # (VERDICT r4 weak #5). All modes assert the expected pass count.
 set -u
 cd "$(dirname "$0")/.."
-MIN_PASSED=${2:-${1:-350}}
-case "$MIN_PASSED" in ''|*[!0-9]*) MIN_PASSED=350;; esac
+MIN_PASSED=${2:-${1:-400}}
+case "$MIN_PASSED" in ''|*[!0-9]*) MIN_PASSED=400;; esac
 
 run_single() {
     python -m pytest tests/ -q --tb=short 2>&1 | tee /tmp/suite_out.txt

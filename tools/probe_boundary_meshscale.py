@@ -6,7 +6,10 @@ the trace loop (interpret-mode Pallas on CPU), and measures the
 variance-vs-edge-count curve (with/without silhouette importance) that
 BASELINE.md records.
 
-Usage:  JAX_PLATFORMS=cpu python tools/probe_boundary_meshscale.py [--curve]
+Usage:
+    python tools/probe_boundary_meshscale.py             # FD validation
+    python tools/probe_boundary_meshscale.py --curve     # FD + curve
+    python tools/probe_boundary_meshscale.py --curve-only  # curve alone
 """
 import sys
 import time

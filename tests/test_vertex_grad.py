@@ -98,6 +98,16 @@ def test_li_grad_primal_identity():
         lambda s, c, o, d, st, cf: boundary.li_grad(s, c, o, d, st, cf, bc),
         cfg))
     assert np.abs(a - b).max() < 1e-4
+    # the order-1 lookahead terms are zero-primal too (the lookahead
+    # radiance only scales the attached velocity factor)
+    bc1 = boundary.BoundaryConfig(n_edge=2, primary=False,
+                                  lookahead=1, n_la=1)
+    c = np.asarray(common.render(
+        scene, cam,
+        lambda s, c_, o, d, st, cf: boundary.li_grad(s, c_, o, d, st, cf,
+                                                     bc1),
+        cfg))
+    assert np.abs(a - c).max() < 1e-4
 
 
 def test_reparam_primal_identity():

@@ -120,6 +120,10 @@ def probe_steps():
     orig_while = jax.lax.while_loop
 
     def counting_while(cond, body, init):
+        # only instrument the WAVEFRONT loop (dict state with "done");
+        # inner loops (BVH traversal on the CPU path) pass through
+        if not (isinstance(init, dict) and "done" in init):
+            return orig_while(cond, body, init)
         s = init
         while bool(cond(s)):
             s = body(s)

@@ -280,12 +280,17 @@ def _bigmesh_render_rays_per_sec(spp: int = 16, reps: int = 3):
     # and the tile-list tier ladder keeps dummy grid steps ~live-sized;
     # r4's lanes=1 preference came from per-dispatch fixed costs that
     # fusion removed
+    # r5: compact=True enables the occupancy-ladder (wavefront.render:
+    # halving-width compaction stages over the measured ~28% liveness
+    # plateau + tail) — 416 -> ~340 ms, image identical to 3e-8
     lanes = 4
-    img = wavefront.render_jit(scene, cam, cfg, lanes_per_pixel=lanes)
+    img = wavefront.render_jit(scene, cam, cfg, lanes_per_pixel=lanes,
+                               compact=True)
     _np.asarray(img[:1, :1])
     t0 = time.perf_counter()
     for _ in range(reps):
-        img = wavefront.render_jit(scene, cam, cfg, lanes_per_pixel=lanes)
+        img = wavefront.render_jit(scene, cam, cfg, lanes_per_pixel=lanes,
+                                   compact=True)
         _np.asarray(img[:1, :1])
     dt = (time.perf_counter() - t0) / reps
     total_rays = rays_per_sample * npix * spp

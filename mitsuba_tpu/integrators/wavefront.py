@@ -37,8 +37,17 @@ DIMS_PER_BOUNCE = 8
 RAY_EPS = 1e-3
 
 
-def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array:
-    """Full-frame render -> (H, W, 3). Jit-compatible; primal only."""
+def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1,
+           compact: bool = False, fuse: bool | None = None) -> jax.Array:
+    """Full-frame render -> (H, W, 3). Jit-compatible; primal only.
+
+    compact=True (fused big-mesh path only): two-phase loop — when the
+    busy-lane count falls to n/4 (the measured ~28% occupancy plateau:
+    pixels whose paths run deep keep the full-width per-step VPU
+    machinery busy for ~16 more steps), the live lanes are gathered
+    into a quarter-width continuation loop. Same estimator and sample
+    streams (lanes carry their pixel ids; the film becomes a
+    scatter-add), float film reduction order may differ."""
     from ..models import sensor as sensorlib
 
     w, h = cam.width, cam.height
@@ -54,28 +63,34 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
     # decomposes anyway, so the extra while-carry state and final
     # resolve iteration are pure cost (Cornell measured ~4%). Static
     # per-compile: cluster presence is part of the scene pytree struct.
-    fuse = scene.clusters is not None and jax.default_backend() != "cpu"
+    if fuse is None:
+        fuse = scene.clusters is not None and jax.default_backend() != "cpu"
+    # (fuse=True on the CPU backend is valid — trace.closest_and_any
+    # decomposes into the two standard calls there — and is what lets
+    # tests exercise the deferral + compaction-ladder logic off-TPU)
     pixel = jnp.tile(jnp.arange(npix, dtype=jnp.uint32), (lanes_per_pixel,))
     lane_slot = jnp.repeat(
         jnp.arange(lanes_per_pixel, dtype=jnp.uint32), npix
     )
-    px_base = (pixel % w).astype(jnp.float32)
-    py_base = (pixel // w).astype(jnp.float32)
 
-    def u_dim(sample, dim):
-        return uniform(seed, pixel, sample, dim)
+    def u_dim_at(pix, sample, dim):
+        return uniform(seed, pix, sample, dim)
 
-    def camera_ray(sample):
-        jx = u_dim(sample, 0)
-        jy = u_dim(sample, 1)
-        u_lens = jnp.stack([u_dim(sample, 2), u_dim(sample, 3)], -1)
-        o, d, _ = sensorlib.sample_rays(cam, px_base + jx, py_base + jy, u_lens)
+    def camera_ray_at(pix, sample):
+        jx = u_dim_at(pix, sample, 0)
+        jy = u_dim_at(pix, sample, 1)
+        u_lens = jnp.stack([u_dim_at(pix, sample, 2),
+                            u_dim_at(pix, sample, 3)], -1)
+        o, d, _ = sensorlib.sample_rays(
+            cam, (pix % w).astype(jnp.float32) + jx,
+            (pix // w).astype(jnp.float32) + jy, u_lens)
         return o, d
 
     sample0 = lane_slot * jnp.uint32(spp_lane)
-    o0, d0 = camera_ray(sample0)
+    o0, d0 = camera_ray_at(pixel, sample0)
 
     state0 = dict(
+        pix=pixel,                           # lane -> pixel id (gatherable)
         o=o0, d=d0,
         sample=sample0,                      # current sample index per lane
         done=jnp.zeros((n,), jnp.uint32),    # completed samples per lane
@@ -113,7 +128,8 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         t = bounce
 
         def bu(k):
-            return u_dim(sample, SENSOR_DIMS + t * DIMS_PER_BOUNCE + k)
+            return u_dim_at(s["pix"], sample,
+                            SENSOR_DIMS + t * DIMS_PER_BOUNCE + k)
 
         if fuse:
             # fused dispatch: this step's closest batch + last step's
@@ -220,7 +236,7 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         new_done = s["done"] + died.astype(jnp.uint32)
         L_accum = L_accum_in + jnp.where(died[:, None], L_path, 0.0)
         new_sample = sample + died.astype(jnp.uint32)
-        o_cam, d_cam = camera_ray(new_sample)
+        o_cam, d_cam = camera_ray_at(s["pix"], new_sample)
         regen = died & (new_done < spp_lane)
 
         o_next = jnp.where(regen[:, None], o_cam,
@@ -231,6 +247,7 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
         d_next = jnp.where(regen[:, None], d_cam,
                            jnp.where(alive[:, None], d_new, d))
         out = dict(
+            pix=s["pix"],
             o=o_next, d=d_next,
             sample=jnp.where(died, new_sample, sample),
             done=new_done,
@@ -255,16 +272,51 @@ def render(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1) -> jax.Array
             )
         return out
 
-    out = jax.lax.while_loop(cond, step, state0)
-    img = out["L_accum"].reshape(lanes_per_pixel, npix, 3).sum(0)
+    if compact and fuse and n >= 4 * 1024:
+        # compaction ladder: run each stage while the busy count
+        # exceeds the next (halved) width, then gather the busy lanes
+        # (pixel ids ride in the state) into the narrower continuation
+        # — the measured occupancy plateau/tail otherwise pays
+        # full-width per-step VPU machinery. Stages share the one step
+        # function; the film becomes a scatter-add.
+        def busy_of(s):
+            b = s["done"] < spp_lane
+            return (b | s["pend"]) if fuse else b
+
+        widths = []
+        wdt = n // 2
+        while wdt >= max(1024, n // 16):
+            widths.append(max(-(-wdt // 1024) * 1024, 1024))
+            wdt //= 2
+
+        film = jnp.zeros((npix, 3))
+        state = state0
+        for nxt in widths:
+            state = jax.lax.while_loop(
+                lambda s, nxt=nxt: cond(s) & (jnp.sum(busy_of(s)) > nxt),
+                step, state)
+            film = film.at[state["pix"]].add(state["L_accum"])
+            # stable argsort: busy lanes first; the stage exit
+            # guarantees busy-count <= nxt, so every busy lane fits
+            idx = jnp.argsort(~busy_of(state))[:nxt]
+            state = {k: v[idx] for k, v in state.items()}
+            state["L_accum"] = jnp.zeros((nxt, 3))
+        state = jax.lax.while_loop(cond, step, state)
+        film = film.at[state["pix"]].add(state["L_accum"])
+        img = film
+    else:
+        out = jax.lax.while_loop(cond, step, state0)
+        img = out["L_accum"].reshape(lanes_per_pixel, npix, 3).sum(0)
     img = jnp.nan_to_num(img / cfg.spp, nan=0.0, posinf=0.0, neginf=0.0)
     return img.reshape(h, w, 3)
 
 
 @lru_cache(maxsize=64)
-def _jitted(cfg: RenderConfig, lanes_per_pixel: int):
-    return jax.jit(partial(render, cfg=cfg, lanes_per_pixel=lanes_per_pixel))
+def _jitted(cfg: RenderConfig, lanes_per_pixel: int, compact: bool = False):
+    return jax.jit(partial(render, cfg=cfg, lanes_per_pixel=lanes_per_pixel,
+                           compact=compact))
 
 
-def render_jit(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1):
-    return _jitted(cfg, lanes_per_pixel)(scene, cam)
+def render_jit(scene, cam, cfg: RenderConfig, lanes_per_pixel: int = 1,
+               compact: bool = False):
+    return _jitted(cfg, lanes_per_pixel, compact)(scene, cam)
